@@ -1,0 +1,213 @@
+"""Coarse-to-fine pyramid driver for 3D variational optical flow.
+
+Behavioral parity target: reference core/optical_flow_3d.py:319-542
+(``get_displacement``): per-axis pyramid depth via ``warpingDepth`` (min-dim
+shrunk by eta until round(min_dim) < 10), per-axis level caps and the global
+``min(max_levels)*4`` cap, level sizes ``round(dim*eta^min(i,max_axis))``,
+grid spacings ``h = orig_dim/level_dim`` feeding the stencils, flow stored in
+original-resolution units and divided by h before warping, alpha scaled by
+``eta^(-i/2)`` except at min_level, 5^3 median filtering of the increments
+when min(level_size) > 5, and a final upsample when min_level > 0.
+
+TPU-first design: the level schedule is computed on the host (pure Python,
+static shapes per input shape), and the *entire* pyramid — every resize,
+warp, motion tensor and the red-black SOR solver of every level — is traced
+into ONE jittable function, cached per (shape, dtype, params). Frames of a
+recording share shapes, so the compiled pyramid is reused across the whole
+time series and can be vmapped over a batch axis / sharded over a mesh.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowreg3d_tpu.core.motion_tensor import MOTION_TENSORS
+from flowreg3d_tpu.core.solver import compute_flow_level
+from flowreg3d_tpu.ops.filters import median_filter_5x5x5
+from flowreg3d_tpu.ops.resize import resize_volume
+from flowreg3d_tpu.ops.warp import imregister_wrapper
+
+
+def warping_depth(eta, levels, p, m, n):
+    """Pyramid depth: shrink min-dim by eta until round(.) < 10 (ref :77-85)."""
+    min_dim = min(p, m, n)
+    depth = 0
+    for _ in range(levels):
+        depth += 1
+        min_dim *= eta
+        if round(min_dim) < 10:
+            break
+    return depth
+
+
+def add_boundary(f):
+    """Pad a volume by one voxel on each side with edge values (ref :88-89)."""
+    return jnp.pad(f, 1, mode="edge")
+
+
+def level_schedule(shape_zyx, eta, levels, min_level):
+    """Static (host-side) level plan: list of (level_index, level_size, h).
+
+    Returns levels ordered coarse -> fine, plus the effective min_level.
+    """
+    p, m, n = shape_zyx
+    mlz = warping_depth(eta, levels, p, m, n)
+    mly = warping_depth(eta, levels, m, n, p)
+    mlx = warping_depth(eta, levels, n, p, m)
+    cap = min(mlx, mly, mlz) * 4
+    mlz, mly, mlx = min(mlz, cap), min(mly, cap), min(mlx, cap)
+    top = max(mlx, mly, mlz)
+    if top <= min_level:
+        min_level = top - 1
+    if min_level < 0:
+        min_level = 0
+    plan = []
+    for i in range(top, min_level - 1, -1):
+        size = (
+            int(round(p * eta ** min(i, mlz))),
+            int(round(m * eta ** min(i, mly))),
+            int(round(n * eta ** min(i, mlx))),
+        )
+        h = (p / size[0], m / size[1], n / size[2])
+        plan.append((i, size, h))
+    return plan, min_level, top
+
+
+def _normalize_weight(weight, shape, n_channels, dtype):
+    """Reference weight semantics (core/optical_flow_3d.py:351-381)."""
+    p, m, n = shape
+    if weight is None:
+        return jnp.full((p, m, n, n_channels), 1.0 / n_channels, dtype)
+    weight = jnp.asarray(weight, dtype)
+    if weight.ndim == 1:
+        wv = np.asarray(weight, dtype=np.float64)
+        if len(wv) < n_channels:
+            ww = np.full(n_channels, 1.0 / n_channels)
+            ww[: len(wv)] = wv
+            wv = ww
+        elif len(wv) > n_channels:
+            wv = wv[:n_channels]
+        wv = wv / wv.sum()
+        return jnp.broadcast_to(
+            jnp.asarray(wv, dtype).reshape(1, 1, 1, -1), (p, m, n, n_channels))
+    if weight.ndim == 3:
+        return jnp.broadcast_to(weight[..., None], (p, m, n, n_channels)).astype(dtype)
+    return jnp.broadcast_to(weight, (p, m, n, n_channels)).astype(dtype)
+
+
+@lru_cache(maxsize=32)
+def _build_pyramid_fn(shape, n_channels, alpha, update_lag, iterations,
+                      min_level, levels, eta, a_smooth, a_data,
+                      const_assumption, dtype_name):
+    """Build (and cache) the jitted pyramid for a static configuration."""
+    dtype = jnp.dtype(dtype_name)
+    p, m, n = shape
+    plan, eff_min_level, top = level_schedule(shape, eta, levels, min_level)
+    motion_tensor = MOTION_TENSORS[const_assumption]
+    a_data_arr = np.asarray(
+        a_data if isinstance(a_data, tuple) else (a_data,) * n_channels,
+        dtype=np.float64)
+
+    def pyramid(fixed, moving, uvw, weight):
+        # fixed/moving: (Z,Y,X,C); uvw: (Z,Y,X,3); weight: (Z,Y,X,C)
+        u = v = w = None
+        for step, (i, size, (hz, hy, hx)) in enumerate(plan):
+            f1_level = resize_volume(fixed, size, dtype=dtype)
+            f2_level = resize_volume(moving, size, dtype=dtype)
+            if step == 0:
+                u = add_boundary(resize_volume(uvw[..., 0], size, dtype=dtype))
+                v = add_boundary(resize_volume(uvw[..., 1], size, dtype=dtype))
+                w = add_boundary(resize_volume(uvw[..., 2], size, dtype=dtype))
+                tmp = f2_level
+            else:
+                u = add_boundary(resize_volume(u[1:-1, 1:-1, 1:-1], size, dtype=dtype))
+                v = add_boundary(resize_volume(v[1:-1, 1:-1, 1:-1], size, dtype=dtype))
+                w = add_boundary(resize_volume(w[1:-1, 1:-1, 1:-1], size, dtype=dtype))
+                tmp = imregister_wrapper(
+                    f2_level,
+                    u[1:-1, 1:-1, 1:-1] / hx,
+                    v[1:-1, 1:-1, 1:-1] / hy,
+                    w[1:-1, 1:-1, 1:-1] / hz,
+                    f1_level,
+                )
+            if tmp.ndim == 3:
+                tmp = tmp[..., None]
+
+            J_ch = [motion_tensor(f1_level[..., c], tmp[..., c], hz, hy, hx)
+                    for c in range(n_channels)]
+            J_entries = [jnp.stack([J_ch[c][k] for c in range(n_channels)], axis=-1)
+                         for k in range(10)]
+
+            weight_level = resize_volume(weight, size, dtype=dtype)
+            weight_level = jnp.pad(
+                weight_level, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="constant")
+
+            alpha_scaling = 1.0 if i == eff_min_level else eta ** (-0.5 * i)
+            alpha_tmp = tuple(alpha_scaling * a for a in alpha)
+
+            du, dv, dw = compute_flow_level(
+                J_entries, weight_level, u, v, w, alpha_tmp,
+                iterations, update_lag, a_data_arr, a_smooth, hx, hy, hz)
+
+            if min(size) > 5:
+                du = du.at[1:-1, 1:-1, 1:-1].set(
+                    median_filter_5x5x5(du[1:-1, 1:-1, 1:-1]))
+                dv = dv.at[1:-1, 1:-1, 1:-1].set(
+                    median_filter_5x5x5(dv[1:-1, 1:-1, 1:-1]))
+                dw = dw.at[1:-1, 1:-1, 1:-1].set(
+                    median_filter_5x5x5(dw[1:-1, 1:-1, 1:-1]))
+            u = u + du
+            v = v + dv
+            w = w + dw
+
+        flow = jnp.stack(
+            [u[1:-1, 1:-1, 1:-1], v[1:-1, 1:-1, 1:-1], w[1:-1, 1:-1, 1:-1]],
+            axis=-1)
+        if eff_min_level > 0:
+            flow = jnp.stack(
+                [resize_volume(flow[..., k], (p, m, n), dtype=dtype)
+                 for k in range(3)], axis=-1)
+        return flow
+
+    return jax.jit(pyramid)
+
+
+def get_displacement(fixed, moving, alpha=(2.0, 2.0, 2.0), update_lag=10,
+                     iterations=20, min_level=0, levels=50, eta=0.8,
+                     a_smooth=0.5, a_data=0.45, const_assumption="gc",
+                     uvw=None, weight=None, dtype=jnp.float32):
+    """Estimate the dense 3D flow (Z,Y,X,3)=[dx,dy,dz] from fixed to moving.
+
+    Drop-in equivalent of the reference's ``get_displacement``
+    (core/optical_flow_3d.py:319); runs the full coarse-to-fine pyramid as a
+    single compiled TPU program (cached per shape/params).
+    """
+    fixed = jnp.asarray(fixed, dtype)
+    moving = jnp.asarray(moving, dtype)
+    if fixed.ndim == 3:
+        fixed = fixed[..., None]
+        moving = moving[..., None]
+    p, m, n, n_channels = fixed.shape
+
+    if uvw is None:
+        uvw = jnp.zeros((p, m, n, 3), dtype)
+    else:
+        uvw = jnp.asarray(uvw, dtype)
+    weight = _normalize_weight(weight, (p, m, n), n_channels, dtype)
+
+    alpha = tuple(float(a) for a in np.broadcast_to(np.asarray(alpha, np.float64),
+                                                    (3,)))
+    if isinstance(a_data, (list, tuple, np.ndarray)):
+        a_data_key = tuple(float(a) for a in np.asarray(a_data).ravel())
+        if len(a_data_key) == 1:
+            a_data_key = a_data_key * n_channels
+    else:
+        a_data_key = (float(a_data),) * n_channels
+
+    fn = _build_pyramid_fn(
+        (p, m, n), n_channels, alpha, int(update_lag), int(iterations),
+        int(min_level), int(levels), float(eta), float(a_smooth), a_data_key,
+        const_assumption, jnp.dtype(dtype).name)
+    return fn(fixed, moving, uvw, weight)

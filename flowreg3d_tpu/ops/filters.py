@@ -1,0 +1,148 @@
+"""Smoothing / normalization primitives, TPU-native.
+
+Parity targets:
+- ``normalize`` — reference util/image_processing_3D.py:12-92 (min-max to [0,1],
+  global or per-channel, optionally using the reference volume's range).
+- ``apply_gaussian_filter`` — reference util/image_processing_3D.py:95-162
+  (MATLAB imgaussfilt3 semantics: per-channel separable Gaussian, sigma given
+  as (sx,sy,sz[,st]) and applied reordered to (t,)z,y,x, boundary 'reflect'
+  (== numpy 'symmetric'), truncate=4.0).
+- ``median_filter_5x5x5`` — scipy.ndimage.median_filter(size=5, mode='mirror')
+  as used on flow increments (reference core/optical_flow_3d.py:517-526).
+
+TPU-first notes: Gaussians run as separable 1D convolutions that XLA fuses;
+the 5^3 median builds the 125-tap neighborhood stack in z-slabs (bounded
+memory) and reduces with jnp.median. The median is only exercised on pyramid
+levels with min(size)>5 — at the default quality presets those levels are
+small; a Pallas in-VMEM selection kernel is the planned upgrade for the
+full-resolution path.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize(arr, ref=None, channel_normalization="together", eps=1e-8):
+    """Min-max normalize to [0,1]; ranges from ``ref`` when given.
+
+    arr: (Z,Y,X,C) or (T,Z,Y,X,C) (or any rank for 'together').
+    """
+    arr = jnp.asarray(arr)
+    if channel_normalization == "separate" and arr.ndim >= 4:
+        src = arr if ref is None else jnp.asarray(ref)
+        caxes = tuple(range(src.ndim - 1))
+        min_val = src.min(axis=caxes)
+        max_val = src.max(axis=caxes)
+        rng = max_val - min_val
+        safe = jnp.where(rng > 0, rng, 1.0)
+        return (arr - min_val) / safe
+    src = arr if ref is None else jnp.asarray(ref)
+    min_val = src.min()
+    max_val = src.max()
+    if ref is None and channel_normalization == "separate":
+        rng = max_val - min_val
+        return jnp.where(rng > 0, (arr - min_val) / jnp.where(rng > 0, rng, 1.0),
+                         arr - min_val)
+    return (arr - min_val) / (max_val - min_val + eps)
+
+
+@lru_cache(maxsize=128)
+def _gauss_kernel_np(sigma: float, truncate: float) -> np.ndarray:
+    """1D Gaussian taps matching scipy.ndimage.gaussian_filter1d."""
+    if sigma <= 0:
+        return np.ones(1, dtype=np.float64)
+    radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _conv1d_axis(vol, kernel, axis, pad_mode="symmetric"):
+    """1D convolution along ``axis`` with boundary padding (any-rank input)."""
+    k = jnp.asarray(kernel, vol.dtype)
+    taps = k.shape[0]
+    if taps == 1:
+        return vol * k[0]
+    r = taps // 2
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(vol, pad, mode=pad_mode)
+    xm = jnp.moveaxis(xp, axis, -1)
+    lead = xm.shape[:-1]
+    n = xm.shape[-1]
+    x2 = xm.reshape(int(np.prod(lead)) if lead else 1, 1, n)
+    out = jax.lax.conv_general_dilated(
+        x2, k[None, None, ::-1], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out.reshape(*lead, n - 2 * r)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_filter_3d(vol, sigma_zyx, truncate=4.0, pad_mode="symmetric"):
+    """Separable Gaussian over the three leading axes of (Z,Y,X[,...])."""
+    out = vol
+    for axis, s in enumerate(sigma_zyx):
+        if s and s > 0:
+            out = _conv1d_axis(out, _gauss_kernel_np(float(s), float(truncate)),
+                               axis, pad_mode)
+    return out
+
+
+def apply_gaussian_filter(arr, sigma, mode="symmetric", truncate=4.0):
+    """MATLAB-imgaussfilt3-style filtering of (Z,Y,X,C) or (T,Z,Y,X,C).
+
+    ``sigma``: (4,) = [sx,sy,sz,st] for all channels, or (C,4) per channel.
+    Note scipy's mode 'reflect' equals numpy/jnp pad 'symmetric'.
+    """
+    arr = jnp.asarray(arr)
+    sigma = np.asarray(sigma, dtype=np.float64)
+    if arr.ndim == 4:  # (Z,Y,X,C)
+        chans = []
+        for c in range(arr.shape[3]):
+            s = sigma[min(c, len(sigma) - 1), :3] if sigma.ndim == 2 else sigma[:3]
+            s_zyx = (s[2], s[1], s[0]) if len(s) == 3 else tuple(s)
+            chans.append(gaussian_filter_3d(arr[..., c], s_zyx, truncate, mode))
+        return jnp.stack(chans, axis=-1)
+    if arr.ndim == 5:  # (T,Z,Y,X,C)
+        chans = []
+        for c in range(arr.shape[4]):
+            s = sigma[min(c, len(sigma) - 1)] if sigma.ndim == 2 else sigma
+            s_tzyx = (s[3], s[2], s[1], s[0]) if len(s) == 4 else tuple(s)
+            chans.append(gaussian_filter_3d(arr[..., c], s_tzyx, truncate, mode))
+        return jnp.stack(chans, axis=-1)
+    return gaussian_filter_3d(arr, tuple(np.atleast_1d(sigma)), truncate, mode)
+
+
+def _median_stack(xp, Z, Y, X):
+    """125 shifted views of the padded volume, stacked on a leading axis."""
+    views = []
+    for dz in range(5):
+        for dy in range(5):
+            for dx in range(5):
+                views.append(
+                    jax.lax.dynamic_slice(xp, (dz, dy, dx), (Z, Y, X)))
+    return jnp.stack(views, axis=0)
+
+
+def median_filter_5x5x5(x, slab=None):
+    """Exact 5x5x5 median filter, boundary 'mirror' (jnp.pad 'reflect').
+
+    Processes z-slabs to bound the 125x neighborhood-stack memory.
+    """
+    x = jnp.asarray(x)
+    Z, Y, X = x.shape
+    xp = jnp.pad(x, 2, mode="reflect")
+    if slab is None:
+        # target <= ~256 MB transient stack in f32
+        slab = max(1, min(Z, int(5e8 / (125 * Y * X * 4))))
+    outs = []
+    for z0 in range(0, Z, slab):
+        zs = min(slab, Z - z0)
+        part = jax.lax.dynamic_slice(xp, (z0, 0, 0), (zs + 4, Y + 4, X + 4))
+        stack = _median_stack(part, zs, Y, X)
+        outs.append(jnp.median(stack, axis=0))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
