@@ -18,6 +18,24 @@ plus the batch pipeline entry points.
 from flowreg3d_tpu.core.pyramid import get_displacement
 from flowreg3d_tpu.ops.warp import imregister_wrapper
 
+
+def __getattr__(name):
+    # pipeline symbols are lazy so `import flowreg3d_tpu` stays light
+    _pipeline_names = {
+        "OFOptions", "OutputFormat", "QualitySetting", "RegistrationConfig",
+        "BatchMotionCorrector", "compensate_recording", "compensate_arr",
+        "compensate_arr_3D", "compensate_inplace",
+    }
+    if name in _pipeline_names:
+        import flowreg3d_tpu.pipeline as _p
+
+        return getattr(_p, name)
+    raise AttributeError(f"module 'flowreg3d_tpu' has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_displacement", "imregister_wrapper", "__version__"]
+__all__ = [
+    "get_displacement", "imregister_wrapper", "OFOptions",
+    "compensate_recording", "compensate_arr", "__version__",
+]

@@ -98,10 +98,13 @@ def _normalize_weight(weight, shape, n_channels, dtype):
 
 
 @lru_cache(maxsize=32)
-def _build_pyramid_fn(shape, n_channels, alpha, update_lag, iterations,
+def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                       min_level, levels, eta, a_smooth, a_data,
                       const_assumption, dtype_name):
-    """Build (and cache) the jitted pyramid for a static configuration."""
+    """Build (and cache) the traced-once pyramid function for a static
+    configuration. Returns the raw (un-jitted) function — composable under
+    vmap/shard_map; ``_build_pyramid_fn`` wraps it in jit for the
+    single-frame API."""
     dtype = jnp.dtype(dtype_name)
     p, m, n = shape
     plan, eff_min_level, top = level_schedule(shape, eta, levels, min_level)
@@ -171,7 +174,31 @@ def _build_pyramid_fn(shape, n_channels, alpha, update_lag, iterations,
                  for k in range(3)], axis=-1)
         return flow
 
-    return jax.jit(pyramid)
+    return pyramid
+
+
+@lru_cache(maxsize=32)
+def _build_pyramid_fn(*key):
+    return jax.jit(build_pyramid_raw(*key))
+
+
+def pyramid_config_key(shape, n_channels, alpha=(2.0, 2.0, 2.0),
+                       update_lag=10, iterations=20, min_level=0, levels=50,
+                       eta=0.8, a_smooth=0.5, a_data=0.45,
+                       const_assumption="gc", dtype=jnp.float32):
+    """Hashable static-config tuple for ``build_pyramid_raw``."""
+    alpha = tuple(float(a) for a in np.broadcast_to(
+        np.asarray(alpha, np.float64), (3,)))
+    if isinstance(a_data, (list, tuple, np.ndarray)):
+        a_data_key = tuple(float(a) for a in np.asarray(a_data).ravel())
+        if len(a_data_key) == 1:
+            a_data_key = a_data_key * n_channels
+    else:
+        a_data_key = (float(a_data),) * n_channels
+    return (tuple(int(s) for s in shape), int(n_channels), alpha,
+            int(update_lag), int(iterations), int(min_level), int(levels),
+            float(eta), float(a_smooth), a_data_key, const_assumption,
+            jnp.dtype(dtype).name)
 
 
 def get_displacement(fixed, moving, alpha=(2.0, 2.0, 2.0), update_lag=10,
@@ -197,17 +224,8 @@ def get_displacement(fixed, moving, alpha=(2.0, 2.0, 2.0), update_lag=10,
         uvw = jnp.asarray(uvw, dtype)
     weight = _normalize_weight(weight, (p, m, n), n_channels, dtype)
 
-    alpha = tuple(float(a) for a in np.broadcast_to(np.asarray(alpha, np.float64),
-                                                    (3,)))
-    if isinstance(a_data, (list, tuple, np.ndarray)):
-        a_data_key = tuple(float(a) for a in np.asarray(a_data).ravel())
-        if len(a_data_key) == 1:
-            a_data_key = a_data_key * n_channels
-    else:
-        a_data_key = (float(a_data),) * n_channels
-
-    fn = _build_pyramid_fn(
-        (p, m, n), n_channels, alpha, int(update_lag), int(iterations),
-        int(min_level), int(levels), float(eta), float(a_smooth), a_data_key,
-        const_assumption, jnp.dtype(dtype).name)
+    key = pyramid_config_key(
+        (p, m, n), n_channels, alpha, update_lag, iterations, min_level,
+        levels, eta, a_smooth, a_data, const_assumption, dtype)
+    fn = _build_pyramid_fn(*key)
     return fn(fixed, moving, uvw, weight)

@@ -117,32 +117,29 @@ def apply_gaussian_filter(arr, sigma, mode="symmetric", truncate=4.0):
     return gaussian_filter_3d(arr, tuple(np.atleast_1d(sigma)), truncate, mode)
 
 
-def _median_stack(xp, Z, Y, X):
-    """125 shifted views of the padded volume, stacked on a leading axis."""
-    views = []
-    for dz in range(5):
-        for dy in range(5):
-            for dx in range(5):
-                views.append(
-                    jax.lax.dynamic_slice(xp, (dz, dy, dx), (Z, Y, X)))
-    return jnp.stack(views, axis=0)
-
-
 def median_filter_5x5x5(x, slab=None):
     """Exact 5x5x5 median filter, boundary 'mirror' (jnp.pad 'reflect').
 
-    Processes z-slabs to bound the 125x neighborhood-stack memory.
+    The 125-tap neighborhood is materialized with ONE
+    ``conv_general_dilated_patches`` op (cheap to trace/compile vs 125
+    explicit slices) and reduced with ``jnp.median``; z-slabs bound the
+    transient patch-stack memory.
     """
     x = jnp.asarray(x)
     Z, Y, X = x.shape
     xp = jnp.pad(x, 2, mode="reflect")
     if slab is None:
-        # target <= ~256 MB transient stack in f32
+        # target <= ~256 MB transient patch stack in f32
         slab = max(1, min(Z, int(5e8 / (125 * Y * X * 4))))
     outs = []
     for z0 in range(0, Z, slab):
         zs = min(slab, Z - z0)
         part = jax.lax.dynamic_slice(xp, (z0, 0, 0), (zs + 4, Y + 4, X + 4))
-        stack = _median_stack(part, zs, Y, X)
-        outs.append(jnp.median(stack, axis=0))
+        patches = jax.lax.conv_general_dilated_patches(
+            part[None, None],  # (N=1, C=1, Z, Y, X)
+            filter_shape=(5, 5, 5),
+            window_strides=(1, 1, 1),
+            padding="VALID",
+        )  # (1, 125, zs, Y, X)
+        outs.append(jnp.median(patches[0], axis=0))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

@@ -1,0 +1,383 @@
+"""Batch executors: the per-frame work unit compiled once, scaled three ways.
+
+Executor protocol parity: reference parallelization/base_3d.py:38
+(``process_batch(batch, batch_proc, reference_raw, reference_proc, w_init,
+...) -> (registered (T,Z,Y,X,C), flows (T,Z,Y,X,3))``) including the
+6-step cross-correlation prealignment pipeline of sequential_3d.py:89-150.
+
+TPU-native design (replaces thread/process pools, SURVEY.md §2.4):
+- ``sequential``  — host loop over frames; one compiled flow+warp program.
+- ``batched``     — frames chunked and ``vmap``-ed on one device; chunk size
+                    auto-tuned to HBM (voxel budget) and padded so every
+                    chunk reuses one compilation.
+- ``mesh``        — the batched program with inputs sharded over a 1-D
+                    device mesh (ICI data parallelism); reference volumes
+                    replicated, frames split along T.
+
+All three produce identical numerics (same compiled per-frame program) — the
+executor-consistency invariant the reference tests
+(tests/motion_correction/test_parallelization.py:152-198) holds by
+construction.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowreg3d_tpu.core.pyramid import build_pyramid_raw, pyramid_config_key
+from flowreg3d_tpu.ops.warp import imregister_wrapper
+from flowreg3d_tpu.parallel.mesh import (
+    batch_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+
+_EXECUTORS = {}
+
+
+def register_executor(name, cls):
+    _EXECUTORS[name] = cls
+
+
+def list_executors():
+    return sorted(_EXECUTORS)
+
+
+def get_executor(name=None, **kwargs):
+    """Executor by name, or auto-select: mesh if >1 device else batched."""
+    if name is None:
+        name = "mesh" if len(jax.devices()) > 1 else "batched"
+    name = {"sequential3d": "sequential", "threading3d": "batched",
+            "multiprocessing3d": "mesh"}.get(name, name)
+    if name not in _EXECUTORS:
+        raise ValueError(f"Unknown executor '{name}'; have {list_executors()}")
+    return _EXECUTORS[name](**kwargs)
+
+
+@lru_cache(maxsize=16)
+def _frame_fn(config_key, interp):
+    """flow+warp for one frame; returns the raw function (vmap-able)."""
+    pyramid = build_pyramid_raw(*config_key)
+
+    def one(frame_raw, frame_proc, ref_raw, ref_proc, uvw, weight):
+        flow = pyramid(ref_proc, frame_proc, uvw, weight)
+        reg = imregister_wrapper(
+            frame_raw, flow[..., 0], flow[..., 1], flow[..., 2], ref_raw,
+            interpolation_method=interp)
+        return reg, flow
+
+    return one
+
+
+@lru_cache(maxsize=16)
+def _jit_single(config_key, interp):
+    return jax.jit(_frame_fn(config_key, interp))
+
+
+@lru_cache(maxsize=16)
+def _jit_chunk(config_key, interp):
+    one = _frame_fn(config_key, interp)
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, 0, None)))
+
+
+def _config_key(reference_proc, flow_params, dtype=jnp.float32):
+    shape = reference_proc.shape[:3]
+    n_channels = (reference_proc.shape[3]
+                  if reference_proc.ndim == 4 else 1)
+    fp = dict(flow_params)
+    fp.pop("weight", None)
+    fp.pop("cc_initialization", None)
+    fp.pop("cc_hw", None)
+    fp.pop("cc_up", None)
+    if "const_assumption" not in fp and "constancy_assumption" in fp:
+        fp["const_assumption"] = fp.pop("constancy_assumption")
+    return pyramid_config_key(shape, n_channels, dtype=dtype, **fp)
+
+
+def _normalize_inputs(batch, batch_proc, reference_raw, reference_proc):
+    def c4(v):
+        v = np.asarray(v)
+        return v[..., np.newaxis] if v.ndim == 3 else v
+
+    def c5(v):
+        v = np.asarray(v)
+        return v[..., np.newaxis] if v.ndim == 4 else v
+
+    return c5(batch), c5(batch_proc), c4(reference_raw), c4(reference_proc)
+
+
+class BaseExecutor3D:
+    """Executor protocol + shared per-frame pipeline assembly."""
+
+    name = "base"
+
+    def __init__(self, n_workers=None, dtype=jnp.float32, **kwargs):
+        self.n_workers = n_workers
+        self.dtype = dtype
+
+    # context manager / lifecycle (protocol parity)
+    def setup(self):
+        return self
+
+    def cleanup(self):
+        pass
+
+    def __enter__(self):
+        return self.setup()
+
+    def __exit__(self, *exc):
+        self.cleanup()
+
+    @classmethod
+    def register(cls):
+        register_executor(cls.name, cls)
+
+    def get_info(self):
+        return {"name": self.name, "n_devices": len(jax.devices())}
+
+    # -- core ---------------------------------------------------------------
+
+    def _weight_volume(self, flow_params, ref_proc):
+        Z, Y, X, C = ref_proc.shape
+        w = flow_params.get("weight")
+        if w is None:
+            return np.full((Z, Y, X, C), 1.0 / C, np.float32)
+        w = np.asarray(w, np.float32)
+        if w.ndim == 1:
+            w = w[:C] if w.size >= C else np.pad(
+                w, (0, C - w.size), constant_values=1.0 / C)
+            w = w / w.sum()
+            return np.broadcast_to(w, (Z, Y, X, C)).copy()
+        if w.ndim == 3:
+            return np.broadcast_to(w[..., None], (Z, Y, X, C)).copy()
+        return np.broadcast_to(w, (Z, Y, X, C)).copy()
+
+    def _prealign(self, frame_proc, reference_proc, w_init, flow_params,
+                  interp_linear="linear"):
+        """Steps 1-4 of the reference's cc pipeline: warp by w_init, rigid
+        xcorr residual, combine, warp again. Returns (aligned, w_combined)."""
+        from flowreg3d_tpu.util.xcorr_prealignment import estimate_rigid_xcorr_3d
+
+        cc_hw = flow_params.get("cc_hw", 256)
+        if isinstance(cc_hw, int):
+            cc_hw = (cc_hw, cc_hw)
+        cc_up = int(flow_params.get("cc_up", 10))
+        weight = flow_params.get("weight")
+
+        mov_partial = np.asarray(imregister_wrapper(
+            frame_proc, w_init[..., 0], w_init[..., 1], w_init[..., 2],
+            reference_proc, interpolation_method=interp_linear))
+        ref_cc = reference_proc[..., 0] if reference_proc.shape[-1] == 1 \
+            else reference_proc
+        mov_cc = mov_partial[..., 0] if (mov_partial.ndim == 4
+                                         and mov_partial.shape[-1] == 1) \
+            else mov_partial
+        w_cross = estimate_rigid_xcorr_3d(ref_cc, mov_cc, target_hw=cc_hw,
+                                          up=cc_up, weight=weight)
+        w_combined = w_init.copy()
+        w_combined[..., 0] += w_cross[0]
+        w_combined[..., 1] += w_cross[1]
+        w_combined[..., 2] += w_cross[2]
+        aligned = np.asarray(imregister_wrapper(
+            frame_proc, w_combined[..., 0], w_combined[..., 1],
+            w_combined[..., 2], reference_proc,
+            interpolation_method=interp_linear))
+        if aligned.ndim == 3:
+            aligned = aligned[..., np.newaxis]
+        return aligned, w_combined
+
+    def process_batch(self, batch, batch_proc, reference_raw, reference_proc,
+                      w_init, get_displacement_func=None, imregister_func=None,
+                      interpolation_method="cubic", progress_callback=None,
+                      **kwargs):
+        """Register a batch; returns (registered (T,Z,Y,X,C), flows
+        (T,Z,Y,X,3)). ``get_displacement_func``/``imregister_func`` exist for
+        protocol parity and are ignored — the compiled pipeline is used."""
+        flow_params = dict(kwargs.get("flow_params", {}))
+        batch, batch_proc, reference_raw, reference_proc = _normalize_inputs(
+            batch, batch_proc, reference_raw, reference_proc)
+        T = batch.shape[0]
+        use_cc = bool(flow_params.get("cc_initialization", False))
+
+        weight_vol = self._weight_volume(flow_params, reference_proc)
+        key = _config_key(reference_proc, flow_params, self.dtype)
+
+        w_init = np.asarray(w_init, np.float32)
+        if use_cc:
+            # host-side rigid prealignment per frame, then batched residual
+            aligned = np.empty_like(batch_proc, dtype=np.float32)
+            combined = np.empty((T,) + w_init.shape, np.float32)
+            for t in range(T):
+                aligned[t], combined[t] = self._prealign(
+                    batch_proc[t], reference_proc, w_init, flow_params)
+            uvw = np.zeros((T,) + w_init.shape, np.float32)
+            registered, flows = self._run(
+                batch, aligned, reference_raw, reference_proc, uvw,
+                weight_vol, key, interpolation_method, progress_callback,
+                extra_flow=combined)
+        else:
+            uvw = np.broadcast_to(w_init, (T,) + w_init.shape)
+            registered, flows = self._run(
+                batch, batch_proc, reference_raw, reference_proc, uvw,
+                weight_vol, key, interpolation_method, progress_callback)
+        if registered.dtype != batch.dtype:
+            if np.issubdtype(batch.dtype, np.integer):
+                info = np.iinfo(batch.dtype)
+                registered = np.clip(np.rint(registered), info.min,
+                                     info.max).astype(batch.dtype)
+            else:
+                registered = registered.astype(batch.dtype)
+        return registered, flows
+
+    def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+             key, interp, progress_callback, extra_flow=None):
+        raise NotImplementedError
+
+    def _finalize_cc(self, batch, flows, extra_flow, ref_raw, interp):
+        """CC path step 6: total flow = combined + residual; re-warp raw."""
+        total = flows + extra_flow
+        single = _jit_single_warp(interp)
+        registered = np.stack([
+            np.asarray(single(jnp.asarray(batch[t]), jnp.asarray(total[t]),
+                              jnp.asarray(ref_raw)))
+            for t in range(batch.shape[0])])
+        return registered, total
+
+
+@lru_cache(maxsize=8)
+def _jit_single_warp(interp):
+    def warp(frame_raw, flow, ref_raw):
+        return imregister_wrapper(frame_raw, flow[..., 0], flow[..., 1],
+                                  flow[..., 2], ref_raw,
+                                  interpolation_method=interp)
+    return jax.jit(warp)
+
+
+class SequentialExecutor3D(BaseExecutor3D):
+    """Frame-by-frame host loop over one compiled flow+warp program."""
+
+    name = "sequential"
+
+    def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+             key, interp, progress_callback, extra_flow=None):
+        fn = _jit_single(key, interp)
+        T = batch.shape[0]
+        regs, flows = [], []
+        ref_raw_d = jnp.asarray(ref_raw, self.dtype)
+        ref_proc_d = jnp.asarray(ref_proc, self.dtype)
+        weight_d = jnp.asarray(weight_vol, self.dtype)
+        for t in range(T):
+            reg, flow = fn(jnp.asarray(batch[t], self.dtype),
+                           jnp.asarray(batch_proc[t], self.dtype),
+                           ref_raw_d, ref_proc_d,
+                           jnp.asarray(uvw[t]), weight_d)
+            regs.append(np.asarray(reg))
+            flows.append(np.asarray(flow, np.float32))
+            if progress_callback:
+                progress_callback(1)
+        registered = np.stack(regs)
+        flows = np.stack(flows)
+        if extra_flow is not None:
+            return self._finalize_cc(batch, flows, extra_flow, ref_raw, interp)
+        return registered, flows
+
+
+class BatchedExecutor3D(BaseExecutor3D):
+    """vmap over frame chunks on one device; chunk size HBM-auto-tuned."""
+
+    name = "batched"
+
+    def __init__(self, n_workers=None, chunk=None, voxel_budget=3.0e8,
+                 **kwargs):
+        super().__init__(n_workers=n_workers, **kwargs)
+        self.chunk = chunk
+        self.voxel_budget = voxel_budget
+
+    def _chunk_size(self, shape, T):
+        if self.chunk:
+            return max(1, min(int(self.chunk), T))
+        voxels = int(np.prod(shape[:3])) * max(1, shape[3])
+        return max(1, min(T, int(self.voxel_budget // max(voxels, 1))))
+
+    def _device_args(self, ref_raw, ref_proc, weight_vol):
+        return (jnp.asarray(ref_raw, self.dtype),
+                jnp.asarray(ref_proc, self.dtype),
+                jnp.asarray(weight_vol, self.dtype))
+
+    def _place_chunk(self, *chunk_arrays):
+        return [jnp.asarray(a) for a in chunk_arrays]
+
+    def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+             key, interp, progress_callback, extra_flow=None):
+        T = batch.shape[0]
+        k = self._chunk_size(ref_proc.shape, T)
+        fn = _jit_chunk(key, interp)
+        ref_raw_d, ref_proc_d, weight_d = self._device_args(
+            ref_raw, ref_proc, weight_vol)
+        regs, flows = [], []
+        for t0 in range(0, T, k):
+            sl = slice(t0, min(t0 + k, T))
+            chunk_b, n_valid = pad_to_multiple(batch[sl], k)
+            chunk_p, _ = pad_to_multiple(batch_proc[sl], k)
+            chunk_u, _ = pad_to_multiple(np.asarray(uvw[sl]), k)
+            np_dtype = np.dtype(jnp.dtype(self.dtype).name)
+            cb, cp, cu = self._place_chunk(
+                chunk_b.astype(np_dtype, copy=False),
+                chunk_p.astype(np_dtype, copy=False), chunk_u)
+            reg, flow = fn(cb, cp, ref_raw_d, ref_proc_d, cu, weight_d)
+            regs.append(np.asarray(reg)[:n_valid])
+            flows.append(np.asarray(flow, np.float32)[:n_valid])
+            if progress_callback:
+                progress_callback(n_valid)
+        registered = np.concatenate(regs)
+        flows = np.concatenate(flows)
+        if extra_flow is not None:
+            return self._finalize_cc(batch, flows, extra_flow, ref_raw, interp)
+        return registered, flows
+
+
+class MeshExecutor3D(BatchedExecutor3D):
+    """Batched program with inputs sharded over a 1-D device mesh (ICI)."""
+
+    name = "mesh"
+
+    def __init__(self, n_workers=None, devices=None, per_device=None,
+                 **kwargs):
+        super().__init__(n_workers=n_workers, **kwargs)
+        self.mesh = batch_mesh(devices)
+        self.n_devices = self.mesh.devices.size
+        self.per_device = per_device
+
+    def _chunk_size(self, shape, T):
+        if self.chunk:
+            k = int(self.chunk)
+        else:
+            voxels = int(np.prod(shape[:3])) * max(1, shape[3])
+            per_dev = (self.per_device
+                       or max(1, int(self.voxel_budget // max(voxels, 1))))
+            k = per_dev * self.n_devices
+        # chunk is a multiple of the mesh size, no larger than T rounded up
+        t_rounded = -(-T // self.n_devices) * self.n_devices
+        k = max(self.n_devices, (k // self.n_devices) * self.n_devices)
+        return min(k, t_rounded)
+
+    def _device_args(self, ref_raw, ref_proc, weight_vol):
+        return (replicate(jnp.asarray(ref_raw, self.dtype), self.mesh),
+                replicate(jnp.asarray(ref_proc, self.dtype), self.mesh),
+                replicate(jnp.asarray(weight_vol, self.dtype), self.mesh))
+
+    def _place_chunk(self, *chunk_arrays):
+        return [shard_batch(jnp.asarray(a), self.mesh) for a in chunk_arrays]
+
+    def get_info(self):
+        info = super().get_info()
+        info.update({"mesh": tuple(self.mesh.shape.values())})
+        return info
+
+
+SequentialExecutor3D.register()
+BatchedExecutor3D.register()
+MeshExecutor3D.register()

@@ -1,0 +1,352 @@
+"""BatchMotionCorrector: the streaming motion-correction engine.
+
+Parity target: reference motion_correction/compensate_recording_3D.py:32-633
+— executor setup with fallback chain, I/O setup (w.h5 writer with u/v/w
+datasets when save_w), reference setup + per-channel weight volume,
+preprocessing (normalize against reference then Gaussian, "MATLAB order"),
+``run()`` streaming batch loop with w_init auto-initialization (mean flow of
+first ≤22 frames :342-393), w_init propagation (mean of last ≤20 flows
+:481-485), per-frame statistics (:487-508), optional reference updating
+(≤100 compensated frames :395-429), metadata persistence
+(statistics.npz + reference_frame.npy :559-581), and progress callbacks with
+task IDs (:126-162).
+
+TPU-native: batches are registered by the parallel executor tier
+(vmap / mesh sharding) instead of thread/process pools; checkpoint/resume of
+batch state (frame index + w_init + reference) is an addition over the
+reference (SURVEY.md §5 flags it as absent there).
+"""
+
+import json
+import warnings
+from dataclasses import dataclass
+from pathlib import Path
+from time import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from flowreg3d_tpu.ops.filters import apply_gaussian_filter, normalize
+from flowreg3d_tpu.parallel.executors import get_executor
+from flowreg3d_tpu.pipeline.of_options import OFOptions, OutputFormat
+from flowreg3d_tpu.pipeline.stats import flow_statistics
+
+
+@dataclass
+class RegistrationConfig:
+    """Execution knobs (parity: reference compensate_recording_3D.py:20-28).
+
+    ``parallelization``: None = auto (mesh if >1 device else batched), or
+    'sequential' / 'batched' / 'mesh' (reference names 'sequential3d',
+    'threading3d', 'multiprocessing3d' are accepted aliases).
+    """
+
+    n_jobs: int = -1
+    batch_size: int = 10
+    verbose: bool = False
+    parallelization: Optional[str] = None
+    checkpoint: bool = False
+
+
+class BatchMotionCorrector:
+    """Streaming batch registration pipeline."""
+
+    def __init__(self, options: OFOptions,
+                 config: Optional[RegistrationConfig] = None):
+        self.options = options
+        self.config = config or RegistrationConfig()
+
+        self.mean_disp: List[float] = []
+        self.max_disp: List[float] = []
+        self.mean_div: List[float] = []
+        self.mean_translation: List[float] = []
+
+        self.reference_raw = None
+        self.reference_proc = None
+        self.weight = None
+        self.w_init = None
+
+        self.video_reader = None
+        self.video_writer = None
+        self.w_writer = None
+
+        self.progress_callbacks: List[Callable[[int, Optional[int]], None]] = []
+        self._progress: Dict[str, Tuple[int, Optional[int]]] = {}
+        self._total_frames: Optional[int] = None
+
+        self._setup_executor()
+
+    # -- setup --------------------------------------------------------------
+
+    def _setup_executor(self):
+        name = self.config.parallelization
+        try:
+            self.executor = get_executor(name)
+        except ValueError:
+            warnings.warn(f"Executor '{name}' not available, "
+                          "falling back to sequential")
+            self.executor = get_executor("sequential")
+        if self.config.verbose:
+            print(f"Using {self.executor.name} executor "
+                  f"({self.executor.get_info()})")
+
+    def _setup_io(self):
+        output_path = Path(self.options.output_path)
+        if self.options.output_format != OutputFormat.ARRAY:
+            output_path.mkdir(parents=True, exist_ok=True)
+        self.video_reader = self.options.get_video_reader()
+        self.video_writer = self.options.get_video_writer()
+        if getattr(self.options, "save_w", False):
+            try:
+                from flowreg3d_tpu.io.factory import get_video_file_writer
+
+                if self.options.output_format == OutputFormat.ARRAY:
+                    self.w_writer = get_video_file_writer(None, "ARRAY")
+                else:
+                    self.w_writer = get_video_file_writer(
+                        str(output_path / "w.h5"), "HDF5",
+                        dataset_names=["u", "v", "w"])
+            except Exception as e:
+                warnings.warn(f"Failed to create displacement writer: {e}. "
+                              "Displacements will not be saved.")
+                self.w_writer = None
+                self.options.save_w = False
+
+    def _setup_reference(self, reference_frame=None):
+        if reference_frame is None:
+            ref = self.options.get_reference_frame(self.video_reader)
+        else:
+            ref = reference_frame
+        self.reference_raw = np.asarray(ref, np.float64)
+        if self.reference_raw.ndim == 3:
+            self.reference_raw = self.reference_raw[..., np.newaxis]
+        Z, Y, X, C = self.reference_raw.shape
+
+        self.weight = np.ones((Z, Y, X, C), np.float64)
+        for c in range(C):
+            self.weight[..., c] = self.options.get_weight_at(c, C)
+
+        self.reference_proc = self._preprocess_frames(self.reference_raw)
+
+    # -- preprocessing ------------------------------------------------------
+
+    def _preprocess_frames(self, frames, normalization_ref=None):
+        """normalize (optionally vs reference range) then Gaussian filter —
+        the reference's "MATLAB order" (:229-254)."""
+        mode = ("separate" if str(self.options.channel_normalization.value)
+                == "separate" else "together")
+        normalized = normalize(frames, ref=normalization_ref,
+                               channel_normalization=mode)
+        filtered = apply_gaussian_filter(
+            normalized, sigma=np.asarray(self.options.sigma, dtype=float))
+        return np.asarray(filtered, np.float64)
+
+    # -- progress -----------------------------------------------------------
+
+    def register_progress_callback(self, callback):
+        self.progress_callbacks.append(callback)
+
+    def _notify(self, n_done, task_id="main"):
+        done, total = self._progress.get(task_id, (0, self._total_frames))
+        done += n_done
+        self._progress[task_id] = (done, total)
+        if task_id != "main":
+            return
+        for cb in self.progress_callbacks:
+            try:
+                cb(done, total)
+            except Exception:
+                pass  # callbacks must not break the pipeline (ref :201-456)
+
+    # -- batch processing ---------------------------------------------------
+
+    def _flow_params(self):
+        fp = self.options.to_dict()
+        fp["weight"] = self.weight
+        fp["cc_initialization"] = self.options.cc_initialization
+        fp["cc_hw"] = self.options.cc_hw
+        fp["cc_up"] = self.options.cc_up
+        return fp
+
+    def _process_batch(self, batch, batch_proc, w_init, task_id="main"):
+        cb = None
+        if self.progress_callbacks and task_id == "main":
+            cb = lambda n: self._notify(n, task_id)
+        interp = self.options.interpolation_method.value
+        return self.executor.process_batch(
+            batch=batch, batch_proc=batch_proc,
+            reference_raw=self.reference_raw,
+            reference_proc=self.reference_proc,
+            w_init=w_init, interpolation_method=interp,
+            progress_callback=cb, flow_params=self._flow_params())
+
+    def _compute_initial_w(self, batch, batch_proc):
+        Z, Y, X = self.reference_proc.shape[:3]
+        if getattr(self.options, "cc_initialization", False):
+            return np.zeros((Z, Y, X, 3), np.float32)
+        n_init = min(22, batch.shape[0])
+        _, w = self._process_batch(batch[:n_init], batch_proc[:n_init],
+                                   np.zeros((Z, Y, X, 3), np.float32),
+                                   task_id="initial_w")
+        return np.mean(w, axis=0)
+
+    def _update_reference(self, batch_proc, w):
+        from flowreg3d_tpu.ops.warp import imregister_wrapper
+
+        n = min(100, batch_proc.shape[0])
+        if n < 1:
+            return
+        start = batch_proc.shape[0] - n
+        interp = self.options.interpolation_method.value
+        comp = []
+        for t in range(start, batch_proc.shape[0]):
+            comp.append(np.asarray(imregister_wrapper(
+                batch_proc[t], w[t, ..., 0], w[t, ..., 1], w[t, ..., 2],
+                self.reference_proc, interpolation_method=interp)))
+        self.reference_proc = np.mean(comp, axis=0)
+
+    # -- checkpoint / resume (addition over the reference) ------------------
+
+    def _checkpoint_path(self):
+        return Path(self.options.output_path) / "checkpoint.npz"
+
+    def _save_checkpoint(self, frames_done):
+        if not self.config.checkpoint \
+                or self.options.output_format == OutputFormat.ARRAY:
+            return
+        np.savez(self._checkpoint_path(), frames_done=frames_done,
+                 w_init=self.w_init if self.w_init is not None else 0,
+                 reference_raw=self.reference_raw,
+                 reference_proc=self.reference_proc)
+
+    def _load_checkpoint(self):
+        p = self._checkpoint_path()
+        if not (self.config.checkpoint and p.exists()):
+            return None
+        data = np.load(p, allow_pickle=False)
+        return data
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self, reference_frame=None):
+        self._setup_io()
+        self._setup_reference(reference_frame)
+        self._total_frames = len(self.video_reader) if self.video_reader \
+            else None
+
+        ckpt = self._load_checkpoint()
+        frames_to_skip = 0
+        if ckpt is not None:
+            frames_to_skip = int(ckpt["frames_done"])
+            self.w_init = np.asarray(ckpt["w_init"], np.float32)
+            self.reference_raw = np.asarray(ckpt["reference_raw"])
+            self.reference_proc = np.asarray(ckpt["reference_proc"])
+            if self.config.verbose:
+                print(f"Resuming from checkpoint at frame {frames_to_skip}")
+
+        if self.config.verbose:
+            print(f"Starting compensation with "
+                  f"quality={self.options.quality_setting.value}, "
+                  f"buffer={self.options.buffer_size}")
+
+        batch_idx = 0
+        total_frames = 0
+        start_time = time()
+        try:
+            while self.video_reader.has_batch():
+                batch_idx += 1
+                t0 = time()
+                batch = self.video_reader.read_batch()
+                if frames_to_skip >= batch.shape[0]:
+                    frames_to_skip -= batch.shape[0]
+                    total_frames += batch.shape[0]
+                    continue
+
+                batch_proc = self._preprocess_frames(
+                    batch, normalization_ref=self.reference_raw)
+
+                if self.w_init is None:
+                    self.w_init = self._compute_initial_w(batch, batch_proc)
+
+                current_w_init = (self.w_init
+                                  if self.options.update_initialization_w
+                                  else np.zeros_like(self.w_init))
+
+                registered, w = self._process_batch(batch, batch_proc,
+                                                    current_w_init)
+
+                if self.options.update_initialization_w:
+                    tail = w[-20:] if w.shape[0] > 20 else w
+                    self.w_init = np.mean(tail, axis=0)
+
+                stats = flow_statistics(w)
+                self.mean_disp.extend(stats["mean_disp"])
+                self.max_disp.extend(stats["max_disp"])
+                self.mean_div.extend(stats["mean_div"])
+                self.mean_translation.extend(stats["mean_translation"])
+
+                self.video_writer.write_frames(registered)
+                if self.options.save_w and self.w_writer is not None:
+                    self.w_writer.write_frames(w)
+
+                if self.options.update_reference:
+                    self._update_reference(batch_proc, w)
+
+                total_frames += registered.shape[0]
+                self._save_checkpoint(total_frames)
+                if self.config.verbose:
+                    dt = time() - t0
+                    print(f"Batch {batch_idx}: {registered.shape[0]} frames "
+                          f"in {dt:.2f}s ({registered.shape[0] / dt:.1f} fps)")
+        finally:
+            if self.executor is not None:
+                self.executor.cleanup()
+
+        if self.config.verbose:
+            dt = time() - start_time
+            print(f"Processed {total_frames} frames in {dt:.2f}s "
+                  f"(avg {total_frames / max(dt, 1e-6):.1f} fps)")
+
+        self._save_metadata()
+        self._cleanup()
+        return self.reference_raw
+
+    # -- teardown -----------------------------------------------------------
+
+    def _save_metadata(self):
+        if not getattr(self.options, "save_meta_info", True):
+            return
+        if self.options.output_format == OutputFormat.ARRAY:
+            return
+        out = Path(self.options.output_path)
+        try:
+            out.mkdir(parents=True, exist_ok=True)
+            np.savez(out / "statistics.npz",
+                     mean_disp=np.asarray(self.mean_disp),
+                     max_disp=np.asarray(self.max_disp),
+                     mean_div=np.asarray(self.mean_div),
+                     mean_translation=np.asarray(self.mean_translation))
+            np.save(out / "reference_frame.npy", self.reference_raw)
+        except Exception as e:
+            warnings.warn(f"Failed to save metadata: {e}")
+
+    def _cleanup(self):
+        for closer in (self.video_writer, self.w_writer, self.video_reader):
+            if closer is not None:
+                try:
+                    closer.close()
+                except Exception:
+                    pass
+        p = self._checkpoint_path() if self.config.checkpoint else None
+        if p and p.exists():
+            try:
+                p.unlink()
+            except OSError:
+                pass
+
+
+def compensate_recording(options: OFOptions, reference_frame=None,
+                         config: Optional[RegistrationConfig] = None):
+    """Run the full file-based pipeline (parity: reference :591-633)."""
+    corrector = BatchMotionCorrector(options, config)
+    return corrector.run(reference_frame)
