@@ -1,0 +1,158 @@
+"""Benchmark: volumes/sec for full variational motion correction.
+
+Headline config (BASELINE.json / BASELINE.md): 512x512x64 two-photon-like
+stacks, canonical flow params from the reference's synthetic benchmark
+(examples/motion_correct_3d_test.py:692-706 — alpha=0.25, iterations=100,
+levels=50, eta=0.8, min_level=5, update_lag=5, a_data=0.45, a_smooth=1, gc)
+plus the cubic warp of the raw volume.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` divides by a CPU measurement of the *same algorithm* (XLA CPU
+backend, all host cores) — a conservative stand-in for the numba reference,
+which cannot run here (no numba in the image; the reference publishes no
+numbers, BASELINE.md). The CPU rate is cached in bench_cpu_baseline.json and
+re-measured only when the config hash changes.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+FLOW_PARAMS = dict(alpha=(0.25, 0.25, 0.25), update_lag=5, iterations=100,
+                   min_level=5, levels=50, eta=0.8, a_smooth=1.0,
+                   a_data=0.45, const_assumption="gc")
+SHAPE = (64, 512, 512)  # (Z, Y, X)
+N_WARM = 1
+N_MEASURE = 4
+CACHE = Path(__file__).parent / "bench_cpu_baseline.json"
+
+
+def _make_pair(shape):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(0)
+    blobs = np.zeros(shape, np.float32)
+    n = 4000
+    idx = tuple(rng.integers(2, s - 2, n) for s in shape)
+    blobs[idx] = rng.random(n).astype(np.float32) + 0.5
+    fixed = gaussian_filter(blobs, (1.0, 2.0, 2.0)).astype(np.float32)
+    fixed /= fixed.max()
+    moving = np.roll(fixed, (1, 5, -4), axis=(0, 1, 2))
+    return fixed, moving
+
+
+def _build_step(device):
+    import jax
+    import jax.numpy as jnp
+
+    from flowreg3d_tpu.core.pyramid import build_pyramid_raw, pyramid_config_key
+    from flowreg3d_tpu.ops.warp import imregister_wrapper
+
+    key = pyramid_config_key(SHAPE, 1, **FLOW_PARAMS)
+    pyramid = build_pyramid_raw(*key)
+
+    def step(fixed, moving, uvw, weight):
+        flow = pyramid(fixed, moving, uvw, weight)
+        reg = imregister_wrapper(moving, flow[..., 0], flow[..., 1],
+                                 flow[..., 2], fixed,
+                                 interpolation_method="cubic")
+        return reg, flow
+
+    return jax.jit(step, device=device)
+
+
+def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE):
+    import jax
+    import jax.numpy as jnp
+
+    step = _build_step(device)
+    fx = jax.device_put(fixed[..., None], device)
+    mv = jax.device_put(moving[..., None], device)
+    uvw = jax.device_put(np.zeros(SHAPE + (3,), np.float32), device)
+    wt = jax.device_put(np.ones(SHAPE + (1,), np.float32), device)
+
+    for _ in range(n_warm):
+        out = step(fx, mv, uvw, wt)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_measure):
+        out = step(fx, mv, uvw, wt)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_measure
+    return 1.0 / dt, out
+
+
+def _config_hash():
+    import hashlib
+
+    blob = json.dumps({"shape": SHAPE, "params": {
+        k: (list(v) if isinstance(v, tuple) else v)
+        for k, v in FLOW_PARAMS.items()}}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _cpu_baseline(fixed, moving):
+    import jax
+
+    h = _config_hash()
+    if CACHE.exists():
+        try:
+            data = json.loads(CACHE.read_text())
+            if data.get("hash") == h:
+                return float(data["volumes_per_sec"])
+        except Exception:
+            pass
+    cpu = jax.devices("cpu")[0]
+    rate, _ = _measure(cpu, fixed, moving, n_warm=1, n_measure=1)
+    try:
+        CACHE.write_text(json.dumps(
+            {"hash": h, "volumes_per_sec": rate,
+             "note": "same algorithm on XLA CPU backend (all host cores); "
+                     "conservative stand-in for the numba reference"}))
+    except OSError:
+        pass
+    return rate
+
+
+def main():
+    import jax
+
+    fixed, moving = _make_pair(SHAPE)
+
+    accel = None
+    for plat in ("tpu", "axon"):
+        try:
+            accel = jax.devices(plat)[0]
+            break
+        except RuntimeError:
+            continue
+    if accel is None:
+        accel = jax.devices()[0]
+
+    rate, out = _measure(accel, fixed, moving)
+    reg = np.asarray(out[0])
+    assert np.all(np.isfinite(reg)), "non-finite output"
+
+    try:
+        cpu_rate = _cpu_baseline(fixed, moving)
+        vs_baseline = rate / cpu_rate if cpu_rate > 0 else float("nan")
+    except Exception as e:
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "motion-corrected 512x512x64 volumes/sec "
+                  "(full pyramid flow + cubic warp, canonical params)",
+        "value": round(rate, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
