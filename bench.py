@@ -47,23 +47,27 @@ def _make_pair(shape):
 
 
 def _build_step(device):
+    """Two compiled programs (flow, warp) — split so their peak HBM is not
+    summed in one program (the wide-tap warp operand is ~12G at this size)."""
     import jax
-    import jax.numpy as jnp
 
     from flowreg3d_tpu.core.pyramid import build_pyramid_raw, pyramid_config_key
     from flowreg3d_tpu.ops.warp import imregister_wrapper
 
     key = pyramid_config_key(SHAPE, 1, **FLOW_PARAMS)
-    pyramid = build_pyramid_raw(*key)
+    pyramid = jax.jit(build_pyramid_raw(*key), device=device)
+    warp = jax.jit(
+        lambda moving, flow, fixed: imregister_wrapper(
+            moving, flow[..., 0], flow[..., 1], flow[..., 2], fixed,
+            interpolation_method="cubic"),
+        device=device)
 
     def step(fixed, moving, uvw, weight):
         flow = pyramid(fixed, moving, uvw, weight)
-        reg = imregister_wrapper(moving, flow[..., 0], flow[..., 1],
-                                 flow[..., 2], fixed,
-                                 interpolation_method="cubic")
+        reg = warp(moving, flow, fixed)
         return reg, flow
 
-    return jax.jit(step, device=device)
+    return step
 
 
 def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE):
@@ -76,13 +80,17 @@ def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE):
     uvw = jax.device_put(np.zeros(SHAPE + (3,), np.float32), device)
     wt = jax.device_put(np.ones(SHAPE + (1,), np.float32), device)
 
+    def run_sync():
+        reg, flow = step(fx, mv, uvw, wt)
+        # force real completion: remote runtimes may treat block_until_ready
+        # as enqueue-complete, so fetch a scalar reduction
+        return float(jnp.sum(flow[0, 0, 0])), (reg, flow)
+
     for _ in range(n_warm):
-        out = step(fx, mv, uvw, wt)
-        jax.block_until_ready(out)
+        _, out = run_sync()
     t0 = time.perf_counter()
     for _ in range(n_measure):
-        out = step(fx, mv, uvw, wt)
-        jax.block_until_ready(out)
+        _, out = run_sync()
     dt = (time.perf_counter() - t0) / n_measure
     return 1.0 / dt, out
 

@@ -117,6 +117,12 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
         # fixed/moving: (Z,Y,X,C); uvw: (Z,Y,X,3); weight: (Z,Y,X,C)
         u = v = w = None
         for step, (i, size, (hz, hy, hx)) in enumerate(plan):
+            if step > 0:
+                # false dependency: stops XLA's scheduler from hoisting
+                # later levels' large temporaries (warp tap stacks) above
+                # earlier levels, which would sum their HBM lifetimes
+                fixed, moving, weight, u, v, w = jax.lax.optimization_barrier(
+                    (fixed, moving, weight, u, v, w))
             f1_level = resize_volume(fixed, size, dtype=dtype)
             f2_level = resize_volume(moving, size, dtype=dtype)
             if step == 0:

@@ -98,25 +98,42 @@ _SLAB_ELEMS = 1 << 20
 def _stacked_taps(ext, taps_zyx, out_shape):
     """(N, prod(taps)) operand: statically shifted copies on the minor axis.
 
-    ext: extended volume; taps_zyx: taps per axis (e.g. (4,4,4));
-    out_shape: (Z, Y, X) base-index grid.
+    Memory-layout care (all measured on v5e):
+    - stacking (N,) slices on a NEW MINOR axis lane-pads every (N, 1) temp
+      to (N, 128) — 64 x 128-lane temps = ~18 GB at 512x512x64 scale;
+    - conv_general_dilated_patches emits a lane-padded 5D output AND the
+      gather relays it out — two full-size padded copies.
+    So: stack on axis 0 ((taps, N), zero padding), then one explicit
+    transpose to (N, taps) — a single padded buffer, which the row-gather
+    consumes in place.
     """
     Z, Y, X = out_shape
     ta, tb, td = taps_zyx
-    return jnp.stack([
+    n_taps = ta * tb * td
+    stacked = jnp.stack([
         ext[a:a + Z, b:b + Y, d:d + X].reshape(-1)
         for a in range(ta) for b in range(tb) for d in range(td)
-    ], axis=-1)
+    ], axis=0)
+    # transpose via identity matmul: a plain transpose (or stacking on the
+    # minor axis directly) lets XLA's layout assignment push the transposed
+    # layout back through the concatenate, lane-padding every (1, N) input
+    # to 128 lanes (128x memory). Dot operands/outputs have fixed standard
+    # layouts, and HIGHEST precision keeps value*1.0 exact in f32.
+    eye = jnp.eye(n_taps, dtype=stacked.dtype)
+    return jax.lax.dot_general(
+        stacked, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _row_gather_interp(taps, lin, fracs, weight_fns, tap_counts):
     """One row-gather of all taps per voxel + separable weight contraction.
 
-    taps: (N, T) stacked operand; lin: (M,) int32 base indices into N;
+    taps: (N, T) stacked operand; lin: (M,) int32 flat base indices;
     fracs: tuple of (M,) fractional coords; weight_fns: per-axis weight
     builders returning (M, k); tap_counts: (kz, ky, kx).
     """
     kz, ky, kx = tap_counts
+    n_taps = kz * ky * kx
     M = lin.shape[0]
     nchunk = max(1, -(-M // _SLAB_ELEMS))
     pad = (-M) % nchunk
@@ -131,7 +148,7 @@ def _row_gather_interp(taps, lin, fracs, weight_fns, tap_counts):
     def slab(args):
         lin_s, fz, fy, fx = args
         g = jax.lax.gather(
-            taps, lin_s[:, None], dn, slice_sizes=(1, kz * ky * kx),
+            taps, lin_s[:, None], dn, slice_sizes=(1, n_taps),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
         g = g.reshape(-1, kz, ky, kx)
         g = jnp.einsum("nabd,na->nbd", g, weight_fns[0](fz))

@@ -57,30 +57,38 @@ def get_executor(name=None, **kwargs):
     return _EXECUTORS[name](**kwargs)
 
 
-@lru_cache(maxsize=16)
-def _frame_fn(config_key, interp):
-    """flow+warp for one frame; returns the raw function (vmap-able)."""
-    pyramid = build_pyramid_raw(*config_key)
-
-    def one(frame_raw, frame_proc, ref_raw, ref_proc, uvw, weight):
-        flow = pyramid(ref_proc, frame_proc, uvw, weight)
-        reg = imregister_wrapper(
+def _warp_fn(interp):
+    def warp(frame_raw, flow, ref_raw):
+        return imregister_wrapper(
             frame_raw, flow[..., 0], flow[..., 1], flow[..., 2], ref_raw,
             interpolation_method=interp)
-        return reg, flow
+    return warp
 
-    return one
+
+# NOTE: flow estimation and the raw-frame warp are deliberately SEPARATE
+# compiled programs: the wide-tap warp operand (64x volume, lane-padded 2x
+# plus one relayout copy) would otherwise share one program's peak HBM with
+# the pyramid's buffers and OOM at 512x512x64 scale.
+
+@lru_cache(maxsize=16)
+def _jit_flow_single(config_key):
+    return jax.jit(build_pyramid_raw(*config_key))
 
 
 @lru_cache(maxsize=16)
-def _jit_single(config_key, interp):
-    return jax.jit(_frame_fn(config_key, interp))
+def _jit_warp_single(interp):
+    return jax.jit(_warp_fn(interp))
 
 
 @lru_cache(maxsize=16)
-def _jit_chunk(config_key, interp):
-    one = _frame_fn(config_key, interp)
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, 0, None)))
+def _jit_flow_chunk(config_key):
+    pyramid = build_pyramid_raw(*config_key)
+    return jax.jit(jax.vmap(pyramid, in_axes=(None, 0, 0, None)))
+
+
+@lru_cache(maxsize=16)
+def _jit_warp_chunk(interp):
+    return jax.jit(jax.vmap(_warp_fn(interp), in_axes=(0, 0, None)))
 
 
 def _config_key(reference_proc, flow_params, dtype=jnp.float32):
@@ -263,17 +271,18 @@ class SequentialExecutor3D(BaseExecutor3D):
 
     def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
              key, interp, progress_callback, extra_flow=None):
-        fn = _jit_single(key, interp)
+        flow_fn = _jit_flow_single(key)
+        warp_fn = _jit_warp_single(interp)
         T = batch.shape[0]
         regs, flows = [], []
         ref_raw_d = jnp.asarray(ref_raw, self.dtype)
         ref_proc_d = jnp.asarray(ref_proc, self.dtype)
         weight_d = jnp.asarray(weight_vol, self.dtype)
         for t in range(T):
-            reg, flow = fn(jnp.asarray(batch[t], self.dtype),
+            flow = flow_fn(ref_proc_d,
                            jnp.asarray(batch_proc[t], self.dtype),
-                           ref_raw_d, ref_proc_d,
                            jnp.asarray(uvw[t]), weight_d)
+            reg = warp_fn(jnp.asarray(batch[t], self.dtype), flow, ref_raw_d)
             regs.append(np.asarray(reg))
             flows.append(np.asarray(flow, np.float32))
             if progress_callback:
@@ -314,7 +323,8 @@ class BatchedExecutor3D(BaseExecutor3D):
              key, interp, progress_callback, extra_flow=None):
         T = batch.shape[0]
         k = self._chunk_size(ref_proc.shape, T)
-        fn = _jit_chunk(key, interp)
+        flow_fn = _jit_flow_chunk(key)
+        warp_fn = _jit_warp_chunk(interp)
         ref_raw_d, ref_proc_d, weight_d = self._device_args(
             ref_raw, ref_proc, weight_vol)
         regs, flows = [], []
@@ -327,7 +337,8 @@ class BatchedExecutor3D(BaseExecutor3D):
             cb, cp, cu = self._place_chunk(
                 chunk_b.astype(np_dtype, copy=False),
                 chunk_p.astype(np_dtype, copy=False), chunk_u)
-            reg, flow = fn(cb, cp, ref_raw_d, ref_proc_d, cu, weight_d)
+            flow = flow_fn(ref_proc_d, cp, cu, weight_d)
+            reg = warp_fn(cb, flow, ref_raw_d)
             regs.append(np.asarray(reg)[:n_valid])
             flows.append(np.asarray(flow, np.float32)[:n_valid])
             if progress_callback:
