@@ -91,9 +91,10 @@ def _nbr(f):
     )
 
 
-@partial(jax.jit, static_argnames=("iterations", "update_lag", "a_smooth_is_one"))
+@partial(jax.jit, static_argnames=("iterations", "update_lag",
+                                   "a_smooth_is_one", "use_pallas"))
 def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
-           iterations, update_lag, a_smooth_is_one):
+           iterations, update_lag, a_smooth_is_one, use_pallas=False):
     """Jt: (10,p,m,n,C) stacked [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34]."""
     dtype = u.dtype
     _, p, m, n, C = Jt.shape
@@ -189,28 +190,73 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
 
     SJ0 = tick_update(du, dv, dw)
 
-    def body(it, state):
-        du, dv, dw, SJ = state
-        SJ = jax.lax.cond(
-            jnp.mod(it, update_lag) == 0,
-            lambda _: tick_update(du, dv, dw),
-            lambda sj: sj,
-            SJ,
-        )
-        du = set_boundary_3d(du)
-        dv = set_boundary_3d(dv)
-        dw = set_boundary_3d(dw)
-        sw = smooth_weights(du, dv, dw)
-        du, dv, dw = half_sweep(red_mask, du, dv, dw, SJ, sw)
-        du, dv, dw = half_sweep(black_mask, du, dv, dw, SJ, sw)
-        return du, dv, dw, SJ
+    if use_pallas and a_smooth_is_one:
+        # Fused kernel path: one pallas_call per psi_data tick block runs
+        # update_lag full red-black iterations in-place (Neumann ghosts
+        # clamped in-kernel, so no boundary passes between sweeps). The
+        # blocks between ticks are identical -> lax.scan compiles one.
+        from flowreg3d_tpu.core.solver_pallas import sweep_iterations_pallas
+
+        params = jnp.stack([ax, ay, az]).astype(dtype)
+        n_full, rem = divmod(int(iterations), int(update_lag))
+
+        def block(state, _, k_iters):
+            du, dv, dw = state
+            SJ = tick_update(du, dv, dw)
+            du, dv, dw = sweep_iterations_pallas(
+                du, dv, dw, u, v, w, SJ, params, int(k_iters))
+            return (du, dv, dw), None
+
+        state = (du, dv, dw)
+        if n_full:
+            state, _ = jax.lax.scan(
+                partial(block, k_iters=update_lag), state, None,
+                length=n_full)
+        if rem:
+            state, _ = block(state, None, rem)
+        du, dv, dw = state
+        return (set_boundary_3d(du), set_boundary_3d(dv),
+                set_boundary_3d(dw))
+
+    else:
+        def body(it, state):
+            du, dv, dw, SJ = state
+            SJ = jax.lax.cond(
+                jnp.mod(it, update_lag) == 0,
+                lambda _: tick_update(du, dv, dw),
+                lambda sj: sj,
+                SJ,
+            )
+            du = set_boundary_3d(du)
+            dv = set_boundary_3d(dv)
+            dw = set_boundary_3d(dw)
+            sw = smooth_weights(du, dv, dw)
+            du, dv, dw = half_sweep(red_mask, du, dv, dw, SJ, sw)
+            du, dv, dw = half_sweep(black_mask, du, dv, dw, SJ, sw)
+            return du, dv, dw, SJ
 
     du, dv, dw, _ = jax.lax.fori_loop(0, iterations, body, (du, dv, dw, SJ0))
     return du, dv, dw
 
 
+def pallas_enabled():
+    """Pallas half-sweeps run on real TPUs; XLA everywhere else.
+
+    Override with FLOWREG3D_PALLAS=0/1."""
+    import os
+
+    env = os.environ.get("FLOWREG3D_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def compute_flow_level(J_entries, weight, u, v, w, alpha, iterations,
-                       update_lag, a_data, a_smooth, hx, hy, hz):
+                       update_lag, a_data, a_smooth, hx, hy, hz,
+                       use_pallas=None):
     """Solve one level; inputs follow the reference solver's conventions.
 
     J_entries: tuple of 10 arrays (p,m,n,C) in the order
@@ -223,8 +269,11 @@ def compute_flow_level(J_entries, weight, u, v, w, alpha, iterations,
     a_data = jnp.asarray(a_data, dtype)
     alpha = jnp.asarray(alpha, dtype)
     a_smooth_is_one = float(a_smooth) == 1.0
+    if use_pallas is None:
+        use_pallas = pallas_enabled() and a_smooth_is_one
     return _solve(Jt, weight.astype(dtype), u, v, w, alpha, a_data,
                   jnp.asarray(a_smooth, dtype),
                   jnp.asarray(hx, dtype), jnp.asarray(hy, dtype),
                   jnp.asarray(hz, dtype),
-                  int(iterations), int(update_lag), a_smooth_is_one)
+                  int(iterations), int(update_lag), a_smooth_is_one,
+                  bool(use_pallas))
