@@ -190,15 +190,23 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, *refs):
     sw_sum = 2.0 * (ax + ay + az)
 
     def shifted_sums(base, inc):
+        # Neumann ghosts carry the increment's center value but the BASE
+        # field's own ring values (set_boundary copies du only; u's ring is
+        # whatever the caller provided): ghost tot = base_ghost + inc_center
         tot = base + inc
         totC = tot[1:sz + 1]
-        xm = jnp.where(xg == 1, totC, pltpu.roll(totC, 1, 2))
-        xp = jnp.where(xg == n0 - 2, totC, pltpu.roll(totC, n - 1, 2))
-        ym = jnp.where(yg == 1, totC, pltpu.roll(totC, 1, 1))
-        yp = jnp.where(yg == m0 - 2, totC, pltpu.roll(totC, m - 1, 1))
-        zm = jnp.where(zg == 1, totC, tot[0:sz])
-        zp = jnp.where(zg == p_int, totC, tot[2:sz + 2])
         baseC = base[1:sz + 1]
+        incC = inc[1:sz + 1]
+        xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
+                       pltpu.roll(totC, 1, 2))
+        xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
+                       pltpu.roll(totC, n - 1, 2))
+        ym = jnp.where(yg == 1, pltpu.roll(baseC, 1, 1) + incC,
+                       pltpu.roll(totC, 1, 1))
+        yp = jnp.where(yg == m0 - 2, pltpu.roll(baseC, m - 1, 1) + incC,
+                       pltpu.roll(totC, m - 1, 1))
+        zm = jnp.where(zg == 1, base[0:sz] + incC, tot[0:sz])
+        zp = jnp.where(zg == p_int, base[2:sz + 2] + incC, tot[2:sz + 2])
         return (ax * (xm + xp - 2.0 * baseC)
                 + ay * (ym + yp - 2.0 * baseC)
                 + az * (zm + zp - 2.0 * baseC))

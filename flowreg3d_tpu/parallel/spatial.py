@@ -85,11 +85,15 @@ def _local_halfsweep(phase, z_off, p_int, du, dv, dw, u, v, w, SJ,
     nw = -(SJ34[I] + SJ13[I] * duI + SJ23[I] * dvI)
 
     def comp(base, inc, nd, dd, old):
+        # global Neumann z-ghosts: ghost tot = base_ghost + inc_center
+        # (set_boundary copies the increment only; the base field's ring
+        # holds caller-provided values)
         tot = base + inc
         nb = nbr(tot)
-        totI = tot[I]
-        zm = jnp.where(zg == 1, totI, nb["zm"])
-        zp = jnp.where(zg == p_int, totI, nb["zp"])
+        nb_base = nbr(base)
+        incI = inc[I]
+        zm = jnp.where(zg == 1, nb_base["zm"] + incI, nb["zm"])
+        zp = jnp.where(zg == p_int, nb_base["zp"] + incI, nb["zp"])
         baseI = base[I]
         num = (nd
                + ax * (nb["xm"] + nb["xp"] - 2 * baseI)

@@ -46,4 +46,4 @@ def test_sharded_matches_single_device(n_dev, shape):
     got = compute_flow_level_sharded(J, weight, u, v, w, mesh=mesh, **kw)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=5e-4, atol=5e-4)
