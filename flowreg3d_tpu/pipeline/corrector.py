@@ -46,6 +46,7 @@ class RegistrationConfig:
     verbose: bool = False
     parallelization: Optional[str] = None
     checkpoint: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace output directory
 
 
 class BatchMotionCorrector:
@@ -229,6 +230,14 @@ class BatchMotionCorrector:
     # -- run ----------------------------------------------------------------
 
     def run(self, reference_frame=None):
+        if self.config.profile_dir:
+            import jax
+
+            with jax.profiler.trace(self.config.profile_dir):
+                return self._run(reference_frame)
+        return self._run(reference_frame)
+
+    def _run(self, reference_frame=None):
         self._setup_io()
         self._setup_reference(reference_frame)
         self._total_frames = len(self.video_reader) if self.video_reader \
