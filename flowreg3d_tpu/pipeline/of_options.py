@@ -285,6 +285,11 @@ class OFOptions(BaseModel):
 
         fmt = self.output_format
         backend = _FORMAT_BACKEND.get(fmt, fmt.value)
+        writer_kwargs = {}
+        if fmt == OutputFormat.CAIMAN_HDF5:
+            # CaImAn convention: a single dataset named 'mov', time-major
+            writer_kwargs = {"dataset_names": "mov",
+                             "dimension_ordering": (1, 2, 3, 0)}
         if self.output_file_name:
             filename = self.output_file_name
         elif fmt == OutputFormat.ARRAY:
@@ -297,7 +302,8 @@ class OFOptions(BaseModel):
                 reader = self.get_video_reader()
                 stem = Path(getattr(reader, "file_path", "output")).stem
                 filename = str(self.output_path / f"{stem}_compensated.{ext}")
-        self._video_writer = get_video_file_writer(filename, backend)
+        self._video_writer = get_video_file_writer(filename, backend,
+                                                   **writer_kwargs)
         return self._video_writer
 
     # -- reference ----------------------------------------------------------
