@@ -100,7 +100,7 @@ def _normalize_weight(weight, shape, n_channels, dtype):
 @lru_cache(maxsize=32)
 def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                       min_level, levels, eta, a_smooth, a_data,
-                      const_assumption, dtype_name):
+                      const_assumption, dtype_name, use_pallas=None):
     """Build (and cache) the traced-once pyramid function for a static
     configuration. Returns the raw (un-jitted) function — composable under
     vmap/shard_map; ``_build_pyramid_fn`` wraps it in jit for the
@@ -158,7 +158,8 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
 
             du, dv, dw = compute_flow_level(
                 J_entries, weight_level, u, v, w, alpha_tmp,
-                iterations, update_lag, a_data_arr, a_smooth, hx, hy, hz)
+                iterations, update_lag, a_data_arr, a_smooth, hx, hy, hz,
+                use_pallas=use_pallas)
 
             if min(size) > 5:
                 du = du.at[1:-1, 1:-1, 1:-1].set(
@@ -191,8 +192,13 @@ def _build_pyramid_fn(*key):
 def pyramid_config_key(shape, n_channels, alpha=(2.0, 2.0, 2.0),
                        update_lag=10, iterations=20, min_level=0, levels=50,
                        eta=0.8, a_smooth=0.5, a_data=0.45,
-                       const_assumption="gc", dtype=jnp.float32):
-    """Hashable static-config tuple for ``build_pyramid_raw``."""
+                       const_assumption="gc", dtype=jnp.float32,
+                       use_pallas=None):
+    """Hashable static-config tuple for ``build_pyramid_raw``.
+
+    ``use_pallas``: None = auto (Pallas on TPU when a_smooth == 1); False
+    forces the XLA solver — required when the pyramid is vmapped (Pallas
+    ANY-memory-space kernels don't lower under a batch dimension)."""
     alpha = tuple(float(a) for a in np.broadcast_to(
         np.asarray(alpha, np.float64), (3,)))
     if isinstance(a_data, (list, tuple, np.ndarray)):
@@ -204,7 +210,7 @@ def pyramid_config_key(shape, n_channels, alpha=(2.0, 2.0, 2.0),
     return (tuple(int(s) for s in shape), int(n_channels), alpha,
             int(update_lag), int(iterations), int(min_level), int(levels),
             float(eta), float(a_smooth), a_data_key, const_assumption,
-            jnp.dtype(dtype).name)
+            jnp.dtype(dtype).name, use_pallas)
 
 
 def get_displacement(fixed, moving, alpha=(2.0, 2.0, 2.0), update_lag=10,

@@ -82,6 +82,8 @@ def _jit_warp_single(interp):
 
 @lru_cache(maxsize=16)
 def _jit_flow_chunk(config_key):
+    # Pallas kernels don't lower under a vmap batch dim -> force XLA solver
+    config_key = config_key[:-1] + (False,)
     pyramid = build_pyramid_raw(*config_key)
     return jax.jit(jax.vmap(pyramid, in_axes=(None, 0, 0, None)))
 
@@ -299,7 +301,10 @@ class BatchedExecutor3D(BaseExecutor3D):
 
     name = "batched"
 
-    def __init__(self, n_workers=None, chunk=None, voxel_budget=3.0e8,
+    # vmap batching pays off only for small volumes: batched gathers hit
+    # XLA's slow path and the Pallas solver must fall back to XLA, so large
+    # volumes run the single-frame compiled program frame by frame
+    def __init__(self, n_workers=None, chunk=None, voxel_budget=2.0e7,
                  **kwargs):
         super().__init__(n_workers=n_workers, **kwargs)
         self.chunk = chunk
@@ -323,6 +328,10 @@ class BatchedExecutor3D(BaseExecutor3D):
              key, interp, progress_callback, extra_flow=None):
         T = batch.shape[0]
         k = self._chunk_size(ref_proc.shape, T)
+        if k == 1 and type(self) is BatchedExecutor3D:
+            return SequentialExecutor3D._run(
+                self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+                key, interp, progress_callback, extra_flow)
         flow_fn = _jit_flow_chunk(key)
         warp_fn = _jit_warp_chunk(interp)
         ref_raw_d, ref_proc_d, weight_d = self._device_args(
