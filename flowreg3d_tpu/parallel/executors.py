@@ -285,12 +285,14 @@ class SequentialExecutor3D(BaseExecutor3D):
                            jnp.asarray(batch_proc[t], self.dtype),
                            jnp.asarray(uvw[t]), weight_d)
             reg = warp_fn(jnp.asarray(batch[t], self.dtype), flow, ref_raw_d)
-            regs.append(np.asarray(reg))
-            flows.append(np.asarray(flow, np.float32))
+            # keep device references; downloads happen after the loop so
+            # host transfers overlap with later frames' async dispatches
+            regs.append(reg)
+            flows.append(flow)
             if progress_callback:
                 progress_callback(1)
-        registered = np.stack(regs)
-        flows = np.stack(flows)
+        registered = np.stack([np.asarray(r) for r in regs])
+        flows = np.stack([np.asarray(f, np.float32) for f in flows])
         if extra_flow is not None:
             return self._finalize_cc(batch, flows, extra_flow, ref_raw, interp)
         return registered, flows
