@@ -295,7 +295,9 @@ class OFOptions(BaseModel):
         elif fmt == OutputFormat.ARRAY:
             filename = None
         else:
-            ext = "HDF5" if backend == "HDF5" else backend
+            # MULTIFILE_<FMT> writers split per channel; name by base format
+            ext = backend.split("_")[-1] if backend.startswith("MULTIFILE") \
+                else backend
             if self.naming_convention == NamingConvention.DEFAULT:
                 filename = str(self.output_path / f"compensated.{ext}")
             else:
