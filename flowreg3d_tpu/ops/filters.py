@@ -117,6 +117,54 @@ def apply_gaussian_filter(arr, sigma, mode="symmetric", truncate=4.0):
     return gaussian_filter_3d(arr, tuple(np.atleast_1d(sigma)), truncate, mode)
 
 
+class StreamingTemporalGaussian:
+    """Causal (half-kernel) temporal Gaussian over a streamed batch axis.
+
+    Parity: reference util/image_processing_3D.py:165-209
+    (``gaussian_filter_1d_half_kernel``) — a deque of the last ``radius+1``
+    frames convolved with the half Gaussian (current + past taps only,
+    renormalized), so batch boundaries introduce no artifacts.
+    """
+
+    def __init__(self, sigma, truncate=4.0):
+        from collections import deque
+
+        self.sigma = float(sigma)
+        if self.sigma <= 0:
+            self.radius = 0
+            self.kernel = np.ones(1, np.float64)
+        else:
+            self.radius = int(truncate * self.sigma + 0.5)
+            x = np.arange(0, self.radius + 1, dtype=np.float64)
+            k = np.exp(-0.5 * (x / self.sigma) ** 2)
+            self.kernel = k / k.sum()  # taps: [now, -1, -2, ...]
+        self._buffer = deque(maxlen=self.radius + 1)
+
+    def reset(self):
+        self._buffer.clear()
+
+    def __call__(self, frame):
+        """Filtered frame given the stream history (adds ``frame`` first)."""
+        frame = np.asarray(frame, np.float64)
+        self._buffer.appendleft(frame)
+        taps = self.kernel[: len(self._buffer)]
+        taps = taps / taps.sum()
+        out = np.zeros_like(frame)
+        for w, f in zip(taps, self._buffer):
+            out += w * f
+        return out
+
+    def filter_batch(self, frames):
+        """Apply to a (T, ...) batch, continuing the stream state."""
+        return np.stack([self(frames[t]) for t in range(frames.shape[0])])
+
+
+def gaussian_filter_1d_half_kernel(frames, sigma, truncate=4.0, state=None):
+    """Functional wrapper: returns (filtered (T,...), state) for streaming."""
+    state = state or StreamingTemporalGaussian(sigma, truncate)
+    return state.filter_batch(np.asarray(frames)), state
+
+
 def median_filter_5x5x5(x, slab=None):
     """Exact 5x5x5 median filter, boundary 'mirror' (jnp.pad 'reflect').
 

@@ -118,6 +118,7 @@ class BatchMotionCorrector:
             ref = self.options.get_reference_frame(self.video_reader)
         else:
             ref = reference_frame
+        ref = self._select_channels(np.asarray(ref))
         self.reference_raw = np.asarray(ref, np.float64)
         if self.reference_raw.ndim == 3:
             self.reference_raw = self.reference_raw[..., np.newaxis]
@@ -131,9 +132,19 @@ class BatchMotionCorrector:
 
     # -- preprocessing ------------------------------------------------------
 
+    def _select_channels(self, frames):
+        """Apply options.channel_idx (0-based channel subset) if set."""
+        idx = getattr(self.options, "channel_idx", None)
+        if idx:
+            frames = np.asarray(frames)[..., list(idx)]
+        return frames
+
     def _preprocess_frames(self, frames, normalization_ref=None):
         """normalize (optionally vs reference range) then Gaussian filter —
-        the reference's "MATLAB order" (:229-254)."""
+        the reference's "MATLAB order" (:229-254). A user-supplied
+        ``preproc_funct`` replaces the default chain."""
+        if self.options.preproc_funct is not None:
+            return np.asarray(self.options.preproc_funct(frames), np.float64)
         mode = ("separate" if str(self.options.channel_normalization.value)
                 == "separate" else "together")
         normalized = normalize(frames, ref=normalization_ref,
@@ -265,7 +276,7 @@ class BatchMotionCorrector:
             while self.video_reader.has_batch():
                 batch_idx += 1
                 t0 = time()
-                batch = self.video_reader.read_batch()
+                batch = self._select_channels(self.video_reader.read_batch())
                 if frames_to_skip >= batch.shape[0]:
                     frames_to_skip -= batch.shape[0]
                     total_frames += batch.shape[0]
