@@ -47,6 +47,7 @@ class RegistrationConfig:
     parallelization: Optional[str] = None
     checkpoint: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output directory
+    prefetch: int = 2  # host-side read-ahead batches (0 disables)
 
 
 class BatchMotionCorrector:
@@ -96,6 +97,11 @@ class BatchMotionCorrector:
         if self.options.output_format != OutputFormat.ARRAY:
             output_path.mkdir(parents=True, exist_ok=True)
         self.video_reader = self.options.get_video_reader()
+        if self.config.prefetch and self.config.prefetch > 0:
+            from flowreg3d_tpu.io.prefetch import PrefetchReader3D
+
+            self.video_reader = PrefetchReader3D(
+                self.video_reader, prefetch_depth=self.config.prefetch)
         self.video_writer = self.options.get_video_writer()
         if getattr(self.options, "save_w", False):
             try:
