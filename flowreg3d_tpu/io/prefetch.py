@@ -59,7 +59,10 @@ class PrefetchReader3D(VideoReader3D):
             q.put(_SENTINEL)
 
     def _ensure_thread(self):
-        if self._thread is None or not self._thread.is_alive():
+        # the QUEUE is the stream state: a finished worker leaves buffered
+        # batches + sentinel behind, which must still be drained — only a
+        # missing queue (fresh stream or post-reset) starts a new epoch
+        if self._queue is None:
             self._queue = queue.Queue(maxsize=self.prefetch_depth)
             self._thread = threading.Thread(
                 target=self._worker, args=(self._queue,), daemon=True)
