@@ -100,9 +100,11 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
     _, p, m, n, C = Jt.shape
     J11, J22, J33, J44, J12, J13, J23, J14, J24, J34 = [Jt[i] for i in range(10)]
 
-    du = jnp.zeros((p, m, n), dtype)
-    dv = jnp.zeros((p, m, n), dtype)
-    dw = jnp.zeros((p, m, n), dtype)
+    # derive from an operand (not a zeros literal) so the loop carry is
+    # typed as device-varying when the solver runs inside shard_map
+    du = u * jnp.zeros((), dtype)
+    dv = u * jnp.zeros((), dtype)
+    dw = u * jnp.zeros((), dtype)
 
     ax = alpha[0] / (hx * hx)
     ay = alpha[1] / (hy * hy)

@@ -361,8 +361,44 @@ class BatchedExecutor3D(BaseExecutor3D):
         return registered, flows
 
 
+@lru_cache(maxsize=16)
+def _jit_shardmap_step(config_key, interp, mesh_devices):
+    """shard_map of the SINGLE-frame flow+warp over a 1-D batch mesh: each
+    device processes whole frames (batch dim squeezed locally), so the
+    Pallas solver and the wide-gather warp run in their unbatched fast
+    forms — unlike vmap, which forces slow batched gathers and an XLA
+    solver fallback."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(list(mesh_devices)), ("batch",))
+    pyramid = build_pyramid_raw(*config_key)
+    warp = _warp_fn(interp)
+
+    def local(batch_raw, batch_proc, uvw, ref_raw, ref_proc, weight):
+        def one(raw, proc, u0):
+            flow = pyramid(ref_proc, proc, u0, weight)
+            return warp(raw, flow, ref_raw), flow
+
+        # local block is (per_device, ...); loop frames without vmap
+        regs, flows = [], []
+        for t in range(batch_raw.shape[0]):
+            r, f = one(batch_raw[t], batch_proc[t], uvw[t])
+            regs.append(r)
+            flows.append(f)
+        return jnp.stack(regs), jnp.stack(flows)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P("batch"), P(), P(), P()),
+        out_specs=(P("batch"), P("batch")),
+    )
+    return jax.jit(fn), mesh
+
+
 class MeshExecutor3D(BatchedExecutor3D):
-    """Batched program with inputs sharded over a 1-D device mesh (ICI)."""
+    """Single-frame program shard_map-ed over a 1-D device mesh (ICI)."""
 
     name = "mesh"
 
@@ -372,6 +408,36 @@ class MeshExecutor3D(BatchedExecutor3D):
         self.mesh = batch_mesh(devices)
         self.n_devices = self.mesh.devices.size
         self.per_device = per_device
+
+    def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+             key, interp, progress_callback, extra_flow=None):
+        T = batch.shape[0]
+        k = self._chunk_size(ref_proc.shape, T)
+        step, mesh = _jit_shardmap_step(
+            key, interp, tuple(self.mesh.devices.ravel().tolist()))
+        ref_raw_d, ref_proc_d, weight_d = self._device_args(
+            ref_raw, ref_proc, weight_vol)
+        np_dtype = np.dtype(jnp.dtype(self.dtype).name)
+        regs, flows = [], []
+        for t0 in range(0, T, k):
+            sl = slice(t0, min(t0 + k, T))
+            chunk_b, n_valid = pad_to_multiple(batch[sl], k)
+            chunk_p, _ = pad_to_multiple(batch_proc[sl], k)
+            chunk_u, _ = pad_to_multiple(np.asarray(uvw[sl]), k)
+            cb, cp, cu = self._place_chunk(
+                chunk_b.astype(np_dtype, copy=False),
+                chunk_p.astype(np_dtype, copy=False), chunk_u)
+            reg, flow = step(cb, cp, cu, ref_raw_d, ref_proc_d, weight_d)
+            regs.append(np.asarray(reg)[:n_valid])
+            flows.append(np.asarray(flow, np.float32)[:n_valid])
+            if progress_callback:
+                progress_callback(n_valid)
+        registered = np.concatenate(regs)
+        flows = np.concatenate(flows)
+        if extra_flow is not None:
+            return self._finalize_cc(batch, flows, extra_flow, ref_raw,
+                                     interp)
+        return registered, flows
 
     def _chunk_size(self, shape, T):
         if self.chunk:
