@@ -100,11 +100,12 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
     _, p, m, n, C = Jt.shape
     J11, J22, J33, J44, J12, J13, J23, J14, J24, J34 = [Jt[i] for i in range(10)]
 
-    # derive from an operand (not a zeros literal) so the loop carry is
-    # typed as device-varying when the solver runs inside shard_map
-    du = u * jnp.zeros((), dtype)
-    dv = u * jnp.zeros((), dtype)
-    dw = u * jnp.zeros((), dtype)
+    # derive from the operands (not a zeros literal) so the loop carry is
+    # typed as device-varying when any solver input varies under shard_map
+    zero_seed = (u + Jt[0, ..., 0]) * jnp.zeros((), dtype)
+    du = zero_seed
+    dv = zero_seed
+    dw = zero_seed
 
     ax = alpha[0] / (hx * hx)
     ay = alpha[1] / (hy * hy)
