@@ -48,6 +48,7 @@ class RegistrationConfig:
     checkpoint: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output directory
     prefetch: int = 2  # host-side read-ahead batches (0 disables)
+    async_write: bool = True  # background-thread output writing
 
 
 class BatchMotionCorrector:
@@ -103,6 +104,11 @@ class BatchMotionCorrector:
             self.video_reader = PrefetchReader3D(
                 self.video_reader, prefetch_depth=self.config.prefetch)
         self.video_writer = self.options.get_video_writer()
+        if self.config.async_write \
+                and self.options.output_format != OutputFormat.ARRAY:
+            from flowreg3d_tpu.io.async_writer import AsyncWriter3D
+
+            self.video_writer = AsyncWriter3D(self.video_writer)
         if getattr(self.options, "save_w", False):
             try:
                 from flowreg3d_tpu.io.factory import get_video_file_writer
