@@ -180,11 +180,12 @@ class OFOptions(BaseModel):
     @classmethod
     def _normalize_weight(cls, v):
         arr = np.asarray(v, dtype=float)
-        if arr.ndim == 1 and arr.sum() > 0:
-            return (arr / arr.sum()).tolist()
-        if isinstance(v, np.ndarray):
-            return v.tolist()
-        return v
+        if arr.ndim == 1:
+            if arr.sum() > 0:
+                arr = arr / arr.sum()
+            return arr.tolist()
+        # spatial weight maps ((C,Z,Y,X) or (Z,Y,X)) stay as ndarrays
+        return arr
 
     @field_validator("sigma", mode="before")
     @classmethod
