@@ -130,18 +130,17 @@ def _pick_slab(p_int, m, n, budget_bytes=10 * 2 ** 20):
     return min(sz, p_int)
 
 
-def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, *refs):
+def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
+                  sj_ref, out_ref, vmem_duvw, vmem_base, vmem_sj, vmem_out,
+                  sem_in, sem_out):
     """Fused sweep: grid (n_iters, 2 phases, n_slabs), updates in place.
 
-    Neumann boundaries are applied by clamping: a ghost neighbor equals the
-    center cell (boundary row/col holds a copy of its interior neighbor), so
-    no separate set_boundary pass is needed between half-sweeps.
+    Inputs are STACKED on a leading axis (duvw (3,P,m,n), base u/v/w
+    (3,P,m,n), SJ (9,P,m,n)) so each program issues 3 input DMAs + 1 output
+    DMA instead of 18 — the per-iteration cost is DMA-setup-bound at these
+    slab sizes. Neumann boundaries are applied by clamping (ghost tot =
+    base_ghost + inc_center), so no boundary pass runs between half-sweeps.
     """
-    halo_refs = refs[:_N_HALO]
-    slab_refs = refs[_N_HALO:_N_HALO + _N_SLAB]
-    out_refs = refs[_N_HALO + _N_SLAB:_N_HALO + _N_SLAB + 3]
-    vmem_halo, vmem_slab, vmem_out, sem_in, sem_out = refs[-5:]
-
     phase = pl.program_id(1)
     i = pl.program_id(2)
     sz = vmem_out.shape[1]
@@ -151,29 +150,27 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, *refs):
     ay = params_ref[1]
     az = params_ref[2]
 
-    in_dmas = []
-    for k, ref in enumerate(halo_refs):
-        dma = pltpu.make_async_copy(
-            ref.at[pl.ds(i * sz, sz + 2)], vmem_halo.at[k], sem_in.at[k])
-        dma.start()
-        in_dmas.append(dma)
-    for k, ref in enumerate(slab_refs):
-        dma = pltpu.make_async_copy(
-            ref.at[pl.ds(i * sz + 1, sz)], vmem_slab.at[k],
-            sem_in.at[_N_HALO + k])
-        dma.start()
-        in_dmas.append(dma)
-    for dma in in_dmas:
-        dma.wait()
+    d1 = pltpu.make_async_copy(
+        duvw_ref.at[:, pl.ds(i * sz, sz + 2)], vmem_duvw, sem_in.at[0])
+    d2 = pltpu.make_async_copy(
+        base_ref.at[:, pl.ds(i * sz, sz + 2)], vmem_base, sem_in.at[1])
+    d3 = pltpu.make_async_copy(
+        sj_ref.at[:, pl.ds(i * sz + 1, sz)], vmem_sj, sem_in.at[2])
+    d1.start()
+    d2.start()
+    d3.start()
+    d1.wait()
+    d2.wait()
+    d3.wait()
 
-    du = vmem_halo[0]
-    dv = vmem_halo[1]
-    dw = vmem_halo[2]
-    u = vmem_halo[3]
-    v = vmem_halo[4]
-    w = vmem_halo[5]
+    du = vmem_duvw[0]
+    dv = vmem_duvw[1]
+    dw = vmem_duvw[2]
+    u = vmem_base[0]
+    v = vmem_base[1]
+    w = vmem_base[2]
     (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
-        vmem_slab[k] for k in range(_N_SLAB)]
+        vmem_sj[k] for k in range(_N_SLAB)]
 
     duC = du[1:sz + 1]
     dvC = dv[1:sz + 1]
@@ -223,15 +220,10 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, *refs):
     vmem_out[1] = jnp.where(mask, new_dv, dvC)
     vmem_out[2] = jnp.where(mask, new_dw, dwC)
 
-    out_dmas = []
-    for k in range(3):
-        dma = pltpu.make_async_copy(
-            vmem_out.at[k], out_refs[k].at[pl.ds(i * sz + 1, sz)],
-            sem_out.at[k])
-        dma.start()
-        out_dmas.append(dma)
-    for dma in out_dmas:
-        dma.wait()
+    out_dma = pltpu.make_async_copy(
+        vmem_out, out_ref.at[:, pl.ds(i * sz + 1, sz)], sem_out.at[0])
+    out_dma.start()
+    out_dma.wait()
 
 
 def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
@@ -272,33 +264,36 @@ def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
     padz = p_pad - p
 
     def padf(f):
-        return jnp.pad(f, ((0, padz), (0, m - m0), (0, n - n0)))
+        return jnp.pad(f, ((0, 0), (0, padz), (0, m - m0), (0, n - n0)))
 
-    halo_in = [padf(f) for f in (du, dv, dw, u, v, w)]
-    slab_in = [padf(f) for f in SJ]
+    # stacked operands: 3 input DMAs + 1 output DMA per grid program
+    duvw = padf(jnp.stack([du, dv, dw]))
+    base = padf(jnp.stack([u, v, w]))
+    sj = padf(jnp.stack(list(SJ)))
 
     kern = functools.partial(_sweep_kernel, n_iters, p_int, m0, n0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_iters, 2, n_slabs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (_N_HALO + _N_SLAB),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_N_HALO, sz + 2, m, n), du.dtype),
+            pltpu.VMEM((3, sz + 2, m, n), du.dtype),
+            pltpu.VMEM((3, sz + 2, m, n), du.dtype),
             pltpu.VMEM((_N_SLAB, sz, m, n), du.dtype),
             pltpu.VMEM((3, sz, m, n), du.dtype),
-            pltpu.SemaphoreType.DMA((_N_HALO + _N_SLAB,)),
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((p_pad, m, n), du.dtype)] * 3,
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        out_shape=jax.ShapeDtypeStruct((3, p_pad, m, n), du.dtype),
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(jnp.asarray(params, du.dtype), *halo_in, *slab_in)
-    return tuple(f[:p, :m0, :n0] for f in out)
+    )(jnp.asarray(params, du.dtype), duvw, base, sj)
+    return tuple(out[k, :p, :m0, :n0] for k in range(3))
 
 
 def halfsweep_pallas(du, dv, dw, u, v, w, SJ, params, red_phase,

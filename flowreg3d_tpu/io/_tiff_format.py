@@ -19,7 +19,6 @@ palettes, subifds. These are not produced by the reference pipeline.
 """
 
 import io
-import os
 import struct
 
 import numpy as np

@@ -12,12 +12,10 @@ Pallas single-chip fast path. Numerics match core/solver.py's red-black
 sweep exactly up to f32 reduction order.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 OMEGA = 1.95
 EPS_PSI = 1e-6

@@ -17,7 +17,6 @@ batch state (frame index + w_init + reference) is an addition over the
 reference (SURVEY.md §5 flags it as absent there).
 """
 
-import json
 import warnings
 from dataclasses import dataclass
 from pathlib import Path
