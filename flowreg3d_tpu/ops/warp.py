@@ -236,17 +236,29 @@ def imregister_wrapper(f2_level, u, v, w, f1_level, interpolation_method="cubic"
         | (map_y < 0) | (map_y >= Y)
         | (map_z < 0) | (map_z >= Z)
     )
-    cx = jnp.clip(map_x, 0, X - 1)
-    cy = jnp.clip(map_y, 0, Y - 1)
-    cz = jnp.clip(map_z, 0, Z - 1)
+    # OOB voxels are overwritten from ``fixed`` below, so their sample
+    # coordinates are don't-cares; neutralize them to the identity grid so
+    # clip artifacts don't inflate the windowed kernel's per-group sample
+    # bands (they'd force its full-gather fallback path)
+    cx = jnp.where(oob, grid_x, jnp.clip(map_x, 0, X - 1))
+    cy = jnp.where(oob, grid_y, jnp.clip(map_y, 0, Y - 1))
+    cz = jnp.where(oob, grid_z, jnp.clip(map_z, 0, Z - 1))
 
     method = interpolation_method.lower()
     if method == "cubic":
+        order = 3
         sample = map_coordinates_cubic
     elif method == "linear":
+        order = 1
         sample = map_coordinates_linear
     else:
         raise ValueError("Unsupported interpolation method. Use 'linear' or 'cubic'.")
+
+    from flowreg3d_tpu.ops import warp_pallas
+
+    if warp_pallas.windowed_ok((Z, Y, X), order):
+        def sample(vol, cz, cy, cx, _o=order):
+            return warp_pallas.map_coordinates_windowed(vol, cz, cy, cx, _o)
 
     chans = [sample(f2[..., c], cz, cy, cx) for c in range(C)]
     warped = jnp.stack(chans, axis=-1)

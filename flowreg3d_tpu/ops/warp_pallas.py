@@ -1,0 +1,303 @@
+"""Line-windowed Pallas warp: tricubic/trilinear sampling without gathers.
+
+Behavioral parity target: ``scipy.ndimage.map_coordinates`` order 3/1 with
+``mode='nearest'`` for clipped coordinates — the same contract as
+``ops.warp.map_coordinates_cubic``/``_linear`` (reference semantics at
+reference core/optical_flow_3d.py:22-74).
+
+Why a kernel: the XLA formulation is bound by the gather unit at ~15-19 ns
+per *index row* — 16.7M rows (one per output voxel) ≈ 300 ms at 512x512x64.
+Motion-correction flows are smooth, so all samples of a group of 8 output
+x-lines (one z, eight consecutive y) live inside a small (Dz, Dy) band of
+(z, y) source rows. This kernel exploits that:
+
+- a 1-D grid over 8-line groups; per group one strided DMA fetches the
+  coefficient window ``c[wz:wz+Dz, wy:wy+Dy, :]`` into VMEM (window origins
+  are data-dependent -> scalar-prefetched, double-buffered across programs);
+- the per-voxel x-tap gather is reformulated as one MXU matmul per line
+  against a one-hot-times-weight matrix ``At[x_src, x_out]`` (taps fused
+  with their interpolation weights), turning the gather into dense FLOPs;
+- the (z, y) tap selection factorizes into two masked weight matrices
+  ``WZt``/``WYt`` applied as VPU multiply-reduce over the window rows.
+
+A cheap XLA pre-pass computes window origins and a validity flag (does every
+group's sample band fit its window?); ``lax.cond`` falls back to the exact
+row-gather path for pathological flows, so semantics never depend on the
+smoothness assumption.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
+
+_LPG = 8   # output x-lines per grid program (one z, 8 consecutive y)
+# window geometries (Dz, Dy): Dz covers the per-group z-base range plus
+# n_taps, Dy the 8 output rows + y-base deviation + 8-aligned origin slack.
+# The small geometry fits smooth flows cheaply (the matmul cost scales with
+# Dz*Dy); the large one covers rough flows (e.g. weakly-regularized solver
+# output, alpha~0.25) at ~4x the MXU work — still far cheaper than the
+# row-gather fallback.
+_GEOMS = ((8, 24), (20, 40))
+# x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
+# 128-aligned window instead of the full row. Worst-case slack for flow
+# deviation is WSUB - SUB - n_taps - 127 (alignment) ~= 125 voxels.
+_SUB = 128
+_WSUB = 384
+# VMEM guard: At is (Xp, Xb) f32 per line
+_MAX_X = 1280
+
+
+def _w_taps(f, order):
+    """Per-tap weight vectors for fraction f: cubic B-spline or linear."""
+    if order == 3:
+        return _bspline_weights(f)
+    return (1.0 - f, f)
+
+
+def _kernel(L8, Dz, Dy, n_taps, order, nsub, win_ref, cext_ref, lz_ref,
+            ly_ref, x0_ref, fz_ref, fy_ref, fx_ref, out_ref, fwin, sem):
+    g = pl.program_id(0)
+    Xp = cext_ref.shape[2]
+    Xb = out_ref.shape[2]
+
+    def get_dma(slot, grp):
+        wz = win_ref[0, grp]
+        # wy is stored divided by 8 so Mosaic can prove the sublane-tile
+        # alignment of the dynamic offset
+        wy = win_ref[1, grp] * 8
+        return pltpu.make_async_copy(
+            cext_ref.at[pl.ds(wz, Dz), pl.ds(wy, Dy)], fwin.at[slot],
+            sem.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(g + 1 < L8)
+    def _():
+        get_dma((g + 1) % 2, g + 1).start()
+
+    get_dma(g % 2, g).wait()
+
+    def wmat(nrows, ncols, base, weights):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, ncols), 0)
+        acc = jnp.zeros((nrows, ncols), jnp.float32)
+        for t, wt in enumerate(weights):
+            acc = acc + jnp.where(rows == base + t, wt, 0.0)
+        return acc
+
+    def bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def split(a):
+        # manual bf16x3: Mosaic's DEFAULT f32 dot is a single bf16 pass
+        # (~1e-2 abs error) and HIGHEST (6 passes) triples the kernel
+        # time; hi/lo splitting with lo*lo dropped gives ~1e-5 at 3 passes
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    for s in range(nsub):
+        if nsub == 1:
+            W = Xp
+            c0, S = 0, Xb
+            F2 = fwin[g % 2].reshape(Dz * Dy, Xp)
+            xoff = 0
+        else:
+            W, S = _WSUB, _SUB
+            c0 = s * S
+            wx = win_ref[2 + s, g] * 128
+            F2 = fwin[g % 2, :, :, pl.ds(wx, W)].reshape(Dz * Dy, W)
+            xoff = wx
+        F2h, F2l = split(F2)
+        for i in range(_LPG):
+            x0 = x0_ref[0, i, c0:c0 + S].reshape(1, S) - xoff
+            lz = lz_ref[0, i, c0:c0 + S].reshape(1, S)
+            ly = ly_ref[0, i, c0:c0 + S].reshape(1, S)
+            wxs = _w_taps(fx_ref[0, i, c0:c0 + S].reshape(1, S), order)
+            wys = _w_taps(fy_ref[0, i, c0:c0 + S].reshape(1, S), order)
+            wzs = _w_taps(fz_ref[0, i, c0:c0 + S].reshape(1, S), order)
+
+            At = wmat(W, S, x0, wxs)      # x-taps one-hot * weight
+            WYt = wmat(Dy, S, ly, wys)
+            WZt = wmat(Dz, S, lz, wzs)
+
+            Ath, Atl = split(At)
+            G = bdot(F2h, Ath) + bdot(F2h, Atl) + bdot(F2l, Ath)
+            G = G.reshape(Dz, Dy, S)
+            t1 = (G * WYt[None, :, :]).sum(axis=1)       # (Dz, S)
+            out = (t1 * WZt).sum(axis=0)                 # (S,)
+            out_ref[0, i, c0:c0 + S] = out
+
+
+def _ceil_to(v, m):
+    return -(-v // m) * m
+
+
+def _windows_1d(i0g, n_taps, D, ext_size, align):
+    """Per-group window origin + validity for one axis.
+
+    i0g: (L8, LPG*X) int32 first-tap ext indices per group. Returns
+    (w, valid) of shape (L8,): origin (clipped, ``align``-aligned) and
+    whether the group's tap span [min, max + n_taps - 1] fits [w, w + D).
+    """
+    lo = i0g.min(axis=-1)
+    hi = i0g.max(axis=-1)
+    w = lo if align == 1 else (lo // align) * align
+    w = jnp.clip(w, 0, max(ext_size - D, 0))
+    valid = (hi + n_taps - 1 - w) <= (D - 1)
+    return w, valid
+
+
+def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
+                             interpret=False):
+    """Sample ``vol`` (Z,Y,X) at clipped coordinate grids, order 3 or 1.
+
+    Same semantics as ``map_coordinates_cubic``/``_linear`` (scipy
+    order-3/1, mode='nearest' for in-range coordinates). Uses the Pallas
+    line-window kernel when every 8-line group's sample band fits its
+    window; falls back to the row-gather path otherwise via ``lax.cond``.
+    Requires Y % 8 == 0 (gate via ``windowed_ok``).
+    """
+    from flowreg3d_tpu.ops import warp as _warp
+
+    Z, Y, X = vol.shape
+    out_shape = coord_z.shape
+    n_taps = 4 if order == 3 else 2
+
+    if order == 3:
+        c = bspline_prefilter(vol)           # (Z+3, Y+3, X+3), tap i at i+1
+    else:
+        c = jnp.pad(vol, ((0, 1), (0, 1), (0, 1)), mode="edge")
+
+    Ze, Ye, Xe = c.shape
+    Yp = _ceil_to(Ye, 8)
+    Xp = _ceil_to(Xe, 128)
+    Xb = _ceil_to(X, 128)
+    cext = jnp.pad(c, ((0, 0), (0, Yp - Ye), (0, Xp - Xe)))
+
+    z0 = jnp.floor(coord_z)
+    y0 = jnp.floor(coord_y)
+    x0 = jnp.floor(coord_x)
+    if order == 1:
+        z0 = jnp.clip(z0, 0, Z - 1)
+        y0 = jnp.clip(y0, 0, Y - 1)
+        x0 = jnp.clip(x0, 0, X - 1)
+    fz = (coord_z - z0).astype(jnp.float32)
+    fy = (coord_y - y0).astype(jnp.float32)
+    fx = (coord_x - x0).astype(jnp.float32)
+    z0 = z0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    L8 = (Z * Y) // _LPG
+    zg = z0.reshape(L8, _LPG * X)
+    yg = y0.reshape(L8, _LPG * X)
+
+    # x-subwindows: each _SUB output chunk contracts against a _WSUB-wide
+    # 128-aligned slice of the row instead of all Xp lanes
+    nsub = 1
+    vx_all = jnp.bool_(True)
+    wx_rows = []
+    if X % _SUB == 0 and X // _SUB > 1 and Xp >= _WSUB:
+        nsub = X // _SUB
+        xs = x0.reshape(L8, _LPG, nsub, _SUB)
+        lo = xs.min(axis=(1, 3))
+        hi = xs.max(axis=(1, 3))
+        wx = jnp.clip((lo // 128) * 128, 0, Xp - _WSUB)     # (L8, nsub)
+        vx_all = jnp.all((hi + n_taps - 1 - wx) <= (_WSUB - 1))
+        wx_rows = [wx[:, s] // 128 for s in range(nsub)]
+
+    padx = Xb - X
+
+    def padb(a):
+        a = a.reshape(L8, _LPG, X)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, padx))) if padx else a
+
+    geoms = []
+    seen = set()
+    for gz, gy in _GEOMS:
+        geom = (min(gz, Ze), min(gy, Yp))
+        if geom not in seen:
+            seen.add(geom)
+            geoms.append(geom)
+
+    def make_pallas_branch(Dz, Dy):
+        wz, vz = _windows_1d(zg, n_taps, Dz, Ze, 1)
+        wy, vy = _windows_1d(yg, n_taps, Dy, Yp, 8)
+        valid = jnp.all(vz & vy) & vx_all
+        lz = padb(zg - wz[:, None])
+        ly = padb(yg - wy[:, None])
+        win = jnp.stack([wz, wy // 8] + wx_rows).astype(jnp.int32)
+
+        def branch():
+            kern = functools.partial(_kernel, L8, Dz, Dy, n_taps, order,
+                                     nsub)
+            line_spec = pl.BlockSpec((1, _LPG, Xb),
+                                     lambda g, *_: (g, 0, 0))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(L8,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+                + [line_spec] * 6,
+                out_specs=line_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, Dz, Dy, Xp), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            out = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((L8, _LPG, Xb), jnp.float32),
+                interpret=interpret,
+            )(win, cext, lz, ly, padb(x0), padb(fz), padb(fy), padb(fx))
+            return out[:, :, :X].reshape(Z, Y, X)
+
+        return valid, branch
+
+    def fallback_branch():
+        cf = cext[:Ze, :Ye, :Xe]
+        fzf, fyf, fxf = (a.reshape(-1) for a in (fz, fy, fx))
+        lin = ((z0 * Y + y0) * X + x0).reshape(-1)
+        if order == 3:
+            taps = _warp._stacked_taps(cf, (4, 4, 4), (Z, Y, X))
+            wfn = (_warp._w4, _warp._w4, _warp._w4)
+            counts = (4, 4, 4)
+        else:
+            taps = _warp._stacked_taps(cf, (2, 2, 2), (Z, Y, X))
+            wfn = (_warp._w2, _warp._w2, _warp._w2)
+            counts = (2, 2, 2)
+        out = _warp._row_gather_interp(taps, lin, (fzf, fyf, fxf), wfn,
+                                       counts)
+        return out.reshape(Z, Y, X)
+
+    # tiered dispatch: cheapest window geometry that fits, else row-gather
+    out_fn = fallback_branch
+    for Dz, Dy in reversed(geoms):
+        valid, branch = make_pallas_branch(Dz, Dy)
+        out_fn = functools.partial(
+            jax.lax.cond, valid, branch, out_fn)
+    out = out_fn()
+    return out.reshape(out_shape).astype(vol.dtype)
+
+
+def windowed_ok(shape, order=3):
+    """Static gate: is the line-window kernel worth it / supported here?"""
+    Z, Y, X = shape
+    if X + 3 > _MAX_X:
+        return False
+    if Y % _LPG != 0:
+        return False
+    if Z * Y * X < (1 << 21):
+        return False
+    from flowreg3d_tpu.core.solver import pallas_enabled
+
+    return pallas_enabled()

@@ -1,0 +1,102 @@
+"""Parity tests for the line-windowed Pallas warp (interpret mode on CPU).
+
+Oracle: the row-gather XLA path (itself scipy-parity-tested in
+tests/ops/test_warp.py) and scipy.ndimage.map_coordinates directly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flowreg3d_tpu.ops import warp as W
+from flowreg3d_tpu.ops.warp_pallas import (
+    _windows_1d, map_coordinates_windowed, windowed_ok)
+
+
+def _grids(shape, u, v, w):
+    Z, Y, X = shape
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    cz = jnp.asarray(np.clip(zz + w, 0, Z - 1), jnp.float32)
+    cy = jnp.asarray(np.clip(yy + v, 0, Y - 1), jnp.float32)
+    cx = jnp.asarray(np.clip(xx + u, 0, X - 1), jnp.float32)
+    return cz, cy, cx
+
+
+@pytest.mark.parametrize("order", [3, 1])
+def test_smooth_flow_matches_row_gather(order):
+    rng = np.random.default_rng(0)
+    Z, Y, X = 6, 16, 20
+    vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    cz, cy, cx = _grids((Z, Y, X), 1.3 + 0.01 * yy, -0.7 + 0.02 * zz,
+                        0.4 + 0.015 * xx)
+    got = map_coordinates_windowed(vol, cz, cy, cx, order=order,
+                                   interpret=True)
+    ref = (W.map_coordinates_cubic if order == 3
+           else W.map_coordinates_linear)(vol, cz, cy, cx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cubic_matches_scipy():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    rng = np.random.default_rng(1)
+    Z, Y, X = 5, 8, 24
+    vol = rng.random((Z, Y, X)).astype(np.float32)
+    cz, cy, cx = _grids((Z, Y, X), -1.1, 0.6, 0.9)
+    got = map_coordinates_windowed(jnp.asarray(vol), cz, cy, cx, order=3,
+                                   interpret=True)
+    ref = scipy_nd.map_coordinates(
+        vol.astype(np.float64),
+        np.stack([np.asarray(cz), np.asarray(cy), np.asarray(cx)]),
+        order=3, mode="nearest")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [3, 1])
+def test_jagged_flow_falls_back_exactly(order):
+    """Window-violating flows must route to the row-gather fallback."""
+    rng = np.random.default_rng(2)
+    Z, Y, X = 6, 16, 20
+    vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
+    u = rng.random((Z, Y, X)) * 12 - 6
+    v = rng.random((Z, Y, X)) * 12 - 6
+    w = rng.random((Z, Y, X)) * 4 - 2
+    cz, cy, cx = _grids((Z, Y, X), u, v, w)
+    got = map_coordinates_windowed(vol, cz, cy, cx, order=order,
+                                   interpret=True)
+    ref = (W.map_coordinates_cubic if order == 3
+           else W.map_coordinates_linear)(vol, cz, cy, cx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_x_subwindow_path():
+    """X=512 with nsub=2 subwindows, including a large uniform shift."""
+    rng = np.random.default_rng(3)
+    Z, Y, X = 4, 8, 512
+    vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    cz, cy, cx = _grids((Z, Y, X), 37.5 + 0.01 * xx, -1.2 + 0.02 * zz, 0.7)
+    got = map_coordinates_windowed(vol, cz, cy, cx, order=3, interpret=True)
+    ref = W.map_coordinates_cubic(vol, cz, cy, cx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_validity_flags():
+    i0 = jnp.asarray(
+        np.stack([np.full(40, 3), np.r_[np.full(20, 0), np.full(20, 30)]]),
+        jnp.int32)
+    w, valid = _windows_1d(i0, 4, 8, 64, 1)
+    assert bool(valid[0]) and not bool(valid[1])
+    assert int(w[0]) == 3
+
+
+def test_windowed_ok_gates():
+    assert not windowed_ok((4, 12, 64))          # Y % 8 != 0
+    assert not windowed_ok((64, 512, 2048))      # X too wide for VMEM
+    assert not windowed_ok((8, 16, 16))          # too small to pay off
