@@ -196,7 +196,7 @@ def pyramid_config_key(shape, n_channels, alpha=(2.0, 2.0, 2.0),
                        use_pallas=None):
     """Hashable static-config tuple for ``build_pyramid_raw``.
 
-    ``use_pallas``: None = auto (Pallas on TPU when a_smooth == 1); False
+    ``use_pallas``: None = auto (Pallas on TPU, any a_smooth); False
     forces the XLA solver — required when the pyramid is vmapped (Pallas
     ANY-memory-space kernels don't lower under a batch dimension)."""
     alpha = tuple(float(a) for a in np.broadcast_to(

@@ -193,6 +193,37 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
 
     SJ0 = tick_update(du, dv, dw)
 
+    if use_pallas and not a_smooth_is_one:
+        # Fused flow-driven-diffusivity kernel: one pallas_call runs
+        # update_lag full psi->red->black iterations (psi computed
+        # in-kernel from the pre-red increments, the exact reference
+        # scheme); the psi_data tick stays in XLA between blocks.
+        from flowreg3d_tpu.core.solver_pallas import (
+            sweep_iterations_pallas_psi)
+
+        params = jnp.stack([
+            ax, ay, az, a_smooth,
+            0.5 / hx, 0.5 / hy, 0.5 / hz]).astype(dtype)
+        n_full, rem = divmod(int(iterations), int(update_lag))
+
+        def block(state, _, k_iters):
+            du, dv, dw = state
+            SJ = tick_update(du, dv, dw)
+            du, dv, dw = sweep_iterations_pallas_psi(
+                du, dv, dw, u, v, w, SJ, params, int(k_iters))
+            return (du, dv, dw), None
+
+        state = (du, dv, dw)
+        if n_full:
+            state, _ = jax.lax.scan(
+                partial(block, k_iters=update_lag), state, None,
+                length=n_full)
+        if rem:
+            state, _ = block(state, None, rem)
+        du, dv, dw = state
+        return (set_boundary_3d(du), set_boundary_3d(dv),
+                set_boundary_3d(dw))
+
     if use_pallas and a_smooth_is_one:
         # Fused kernel path: one pallas_call per psi_data tick block runs
         # update_lag full red-black iterations in-place (Neumann ghosts
@@ -273,7 +304,12 @@ def compute_flow_level(J_entries, weight, u, v, w, alpha, iterations,
     alpha = jnp.asarray(alpha, dtype)
     a_smooth_is_one = float(a_smooth) == 1.0
     if use_pallas is None:
-        use_pallas = pallas_enabled() and a_smooth_is_one
+        # VMEM gate: at sz=1 the fused kernels keep ~30-34 (m,n)-planes
+        # resident; planes above ~400KB (e.g. full-res 512^2) cannot fit
+        # 16MB VMEM and must take the XLA path
+        _, m0, n0 = u.shape
+        plane_bytes = (-(-m0 // 8) * 8) * (-(-n0 // 128) * 128) * 4
+        use_pallas = pallas_enabled() and plane_bytes * 34 <= 14 * 2 ** 20
     return _solve(Jt, weight.astype(dtype), u, v, w, alpha, a_data,
                   jnp.asarray(a_smooth, dtype),
                   jnp.asarray(hx, dtype), jnp.asarray(hy, dtype),

@@ -130,6 +130,425 @@ def _pick_slab(p_int, m, n, budget_bytes=10 * 2 ** 20):
     return min(sz, p_int)
 
 
+# a_smooth != 1 variant: one extra halo field (psi) and per-voxel
+# diffusivity weights sw = 0.5*(psi_center + psi_neighbor) * a_dir computed
+# in-register (reference scheme: core/level_solver_3d.py:262-311).
+_N_HALO_PSI = 7
+
+
+def _kernel_psi(red_phase, p_int, m0, n0, params_ref, *refs):
+    """One half-sweep with flow-driven diffusivity. Boundaries must be set
+    by the caller (plain rolls read the ring values)."""
+    halo_refs = refs[:_N_HALO_PSI]
+    slab_refs = refs[_N_HALO_PSI:_N_HALO_PSI + _N_SLAB]
+    out_refs = refs[_N_HALO_PSI + _N_SLAB:_N_HALO_PSI + _N_SLAB + 3]
+    vmem_halo, vmem_slab, vmem_out, sem_in, sem_out = refs[-5:]
+
+    i = pl.program_id(0)
+    sz = vmem_out.shape[1]
+    m = vmem_out.shape[2]
+    n = vmem_out.shape[3]
+    ax = params_ref[0]
+    ay = params_ref[1]
+    az = params_ref[2]
+
+    in_dmas = []
+    for k, ref in enumerate(halo_refs):
+        dma = pltpu.make_async_copy(
+            ref.at[pl.ds(i * sz, sz + 2)], vmem_halo.at[k], sem_in.at[k])
+        dma.start()
+        in_dmas.append(dma)
+    for k, ref in enumerate(slab_refs):
+        dma = pltpu.make_async_copy(
+            ref.at[pl.ds(i * sz + 1, sz)], vmem_slab.at[k],
+            sem_in.at[_N_HALO_PSI + k])
+        dma.start()
+        in_dmas.append(dma)
+    for dma in in_dmas:
+        dma.wait()
+
+    du = vmem_halo[0]
+    dv = vmem_halo[1]
+    dw = vmem_halo[2]
+    u = vmem_halo[3]
+    v = vmem_halo[4]
+    w = vmem_halo[5]
+    psi = vmem_halo[6]
+    (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
+        vmem_slab[k] for k in range(_N_SLAB)]
+
+    duC = du[1:sz + 1]
+    dvC = dv[1:sz + 1]
+    dwC = dw[1:sz + 1]
+    psiC = psi[1:sz + 1]
+
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 0) + i * sz + 1)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 2)
+    mask = ((zg + yg + xg) % 2 == red_phase)
+    mask = mask & ((zg <= p_int)
+                   & (yg >= 1) & (yg <= m0 - 2)
+                   & (xg >= 1) & (xg <= n0 - 2))
+
+    sw_xm = 0.5 * (psiC + pltpu.roll(psiC, 1, 2)) * ax
+    sw_xp = 0.5 * (psiC + pltpu.roll(psiC, n - 1, 2)) * ax
+    sw_ym = 0.5 * (psiC + pltpu.roll(psiC, 1, 1)) * ay
+    sw_yp = 0.5 * (psiC + pltpu.roll(psiC, m - 1, 1)) * ay
+    sw_zm = 0.5 * (psiC + psi[0:sz]) * az
+    sw_zp = 0.5 * (psiC + psi[2:sz + 2]) * az
+    sw_sum = sw_xm + sw_xp + sw_ym + sw_yp + sw_zm + sw_zp
+
+    def shifted_sums(base, inc):
+        tot = base + inc
+        totC = tot[1:sz + 1]
+        baseC = base[1:sz + 1]
+        return (sw_xm * (pltpu.roll(totC, 1, 2) - baseC)
+                + sw_xp * (pltpu.roll(totC, n - 1, 2) - baseC)
+                + sw_ym * (pltpu.roll(totC, 1, 1) - baseC)
+                + sw_yp * (pltpu.roll(totC, m - 1, 1) - baseC)
+                + sw_zm * (tot[0:sz] - baseC)
+                + sw_zp * (tot[2:sz + 2] - baseC))
+
+    nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
+    nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
+    nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+
+    new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
+    new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
+    new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+
+    vmem_out[0] = jnp.where(mask, new_du, duC)
+    vmem_out[1] = jnp.where(mask, new_dv, dvC)
+    vmem_out[2] = jnp.where(mask, new_dw, dwC)
+
+    out_dmas = []
+    for k in range(3):
+        dma = pltpu.make_async_copy(
+            vmem_out.at[k], out_refs[k].at[pl.ds(i * sz + 1, sz)],
+            sem_out.at[k])
+        dma.start()
+        out_dmas.append(dma)
+    for dma in out_dmas:
+        dma.wait()
+
+
+EPS_SMOOTH = 1e-5
+
+
+def _sweep_kernel_psi(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
+                      sj_ref, psi_seed_ref, out_ref, psi_ref, vmem_h4,
+                      vmem_b4, vmem_sj, vmem_psi, vmem_out, sem_in, sem_out):
+    """Fused flow-driven-diffusivity solver: grid (n_iters, 3, n_slabs).
+
+    Phase 0 computes the diffusivity field psi = a*(|grad(u+du)|^2+eps)^(a-1)
+    from the CURRENT increments (reference scheme core/level_solver_3d.py:
+    262-311 — psi is evaluated before the red half and reused for black) and
+    writes it to the aliased psi buffer; phases 1/2 are the red/black SOR
+    half-sweeps with per-voxel weights sw = 0.5*(psiC+psi_nbr)*a_dir.
+
+    Field layout: arrays carry ONE leading pad row (global row g lives at
+    padded index g+1) so phase 0's two-row halo reads stay in bounds at the
+    volume faces. Ghost-cell (Neumann) handling is by clamping in-kernel —
+    du/dv/dw boundary rings in HBM are never updated (callers apply
+    set_boundary afterwards), and phase 0 emulates the ring copy when
+    evaluating gradients.
+    """
+    phase = pl.program_id(1)
+    i = pl.program_id(2)
+    sz = vmem_out.shape[1]
+    m = vmem_out.shape[2]
+    n = vmem_out.shape[3]
+    S4 = sz + 4
+    ax = params_ref[0]
+    ay = params_ref[1]
+    az = params_ref[2]
+    a_s = params_ref[3]
+    ihx2 = params_ref[4]   # 0.5 / hx
+    ihy2 = params_ref[5]
+    ihz2 = params_ref[6]
+
+    @pl.when(phase == 0)
+    def _psi_phase():
+        d1 = pltpu.make_async_copy(
+            duvw_ref.at[:, pl.ds(i * sz, S4)], vmem_h4, sem_in.at[0])
+        d2 = pltpu.make_async_copy(
+            base_ref.at[:, pl.ds(i * sz, S4)], vmem_b4, sem_in.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+        zg = (jax.lax.broadcasted_iota(jnp.int32, (S4, m, n), 0)
+              + i * sz - 1)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (S4, m, n), 1)
+        xg = jax.lax.broadcasted_iota(jnp.int32, (S4, m, n), 2)
+        p0 = p_int + 2
+
+        def ring_copy(f):
+            # emulate set_boundary (ring = adjacent interior) on the padded
+            # block: independent clamps per axis (see solver.set_boundary_3d)
+            zm1 = pltpu.roll(f, S4 - 1, 0)   # value at local r+1
+            zp1 = pltpu.roll(f, 1, 0)        # value at local r-1
+            f = jnp.where(zg == 0, zm1, jnp.where(zg == p0 - 1, zp1, f))
+            ym1 = pltpu.roll(f, m - 1, 1)
+            yp1 = pltpu.roll(f, 1, 1)
+            f = jnp.where(yg == 0, ym1, jnp.where(yg == m0 - 1, yp1, f))
+            xm1 = pltpu.roll(f, n - 1, 2)
+            xp1 = pltpu.roll(f, 1, 2)
+            return jnp.where(xg == 0, xm1,
+                             jnp.where(xg == n0 - 1, xp1, f))
+
+        g2 = jnp.zeros((S4, m, n), vmem_h4.dtype)
+        for c in range(3):
+            tot = vmem_b4[c] + ring_copy(vmem_h4[c])
+            # clamped-index central differences (reference nonlinearity_
+            # smoothness_3d): neighbor index clamped to [0, dim-1]
+            tp = pltpu.roll(tot, S4 - 1, 0)
+            tm = pltpu.roll(tot, 1, 0)
+            gz = (jnp.where(zg == p0 - 1, tot, tp)
+                  - jnp.where(zg == 0, tot, tm)) * ihz2
+            tp = pltpu.roll(tot, m - 1, 1)
+            tm = pltpu.roll(tot, 1, 1)
+            gy = (jnp.where(yg == m0 - 1, tot, tp)
+                  - jnp.where(yg == 0, tot, tm)) * ihy2
+            tp = pltpu.roll(tot, n - 1, 2)
+            tm = pltpu.roll(tot, 1, 2)
+            gx = (jnp.where(xg == n0 - 1, tot, tp)
+                  - jnp.where(xg == 0, tot, tm)) * ihx2
+            g2 = g2 + gz * gz + gy * gy + gx * gx
+
+        psi = a_s * jnp.exp((a_s - 1.0) * jnp.log(g2 + EPS_SMOOTH))
+        vmem_psi[...] = psi[1:sz + 3]
+        od = pltpu.make_async_copy(
+            vmem_psi, psi_ref.at[pl.ds(i * sz + 1, sz + 2)], sem_out.at[0])
+        od.start()
+        od.wait()
+
+    @pl.when(phase > 0)
+    def _sweep_phase():
+        d1 = pltpu.make_async_copy(
+            duvw_ref.at[:, pl.ds(i * sz + 1, sz + 2)],
+            vmem_h4.at[:, 0:sz + 2], sem_in.at[0])
+        d2 = pltpu.make_async_copy(
+            base_ref.at[:, pl.ds(i * sz + 1, sz + 2)],
+            vmem_b4.at[:, 0:sz + 2], sem_in.at[1])
+        d3 = pltpu.make_async_copy(
+            sj_ref.at[:, pl.ds(i * sz + 2, sz)], vmem_sj, sem_in.at[2])
+        d4 = pltpu.make_async_copy(
+            psi_ref.at[pl.ds(i * sz + 1, sz + 2)], vmem_psi, sem_in.at[3])
+        d1.start()
+        d2.start()
+        d3.start()
+        d4.start()
+        d1.wait()
+        d2.wait()
+        d3.wait()
+        d4.wait()
+
+        du = vmem_h4[0, 0:sz + 2]
+        dv = vmem_h4[1, 0:sz + 2]
+        dw = vmem_h4[2, 0:sz + 2]
+        u = vmem_b4[0, 0:sz + 2]
+        v = vmem_b4[1, 0:sz + 2]
+        w = vmem_b4[2, 0:sz + 2]
+        psi = vmem_psi
+        (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
+            vmem_sj[k] for k in range(_N_SLAB)]
+
+        duC = du[1:sz + 1]
+        dvC = dv[1:sz + 1]
+        dwC = dw[1:sz + 1]
+        psiC = psi[1:sz + 1]
+
+        zg = (jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 0)
+              + i * sz + 1)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 1)
+        xg = jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 2)
+        mask = ((zg + yg + xg) % 2 == phase - 1)
+        mask = mask & ((zg <= p_int)
+                       & (yg >= 1) & (yg <= m0 - 2)
+                       & (xg >= 1) & (xg <= n0 - 2))
+
+        sw_xm = 0.5 * (psiC + pltpu.roll(psiC, 1, 2)) * ax
+        sw_xp = 0.5 * (psiC + pltpu.roll(psiC, n - 1, 2)) * ax
+        sw_ym = 0.5 * (psiC + pltpu.roll(psiC, 1, 1)) * ay
+        sw_yp = 0.5 * (psiC + pltpu.roll(psiC, m - 1, 1)) * ay
+        sw_zm = 0.5 * (psiC + psi[0:sz]) * az
+        sw_zp = 0.5 * (psiC + psi[2:sz + 2]) * az
+        sw_sum = sw_xm + sw_xp + sw_ym + sw_yp + sw_zm + sw_zp
+
+        def shifted_sums(base, inc):
+            # Neumann ghosts: ghost tot = base_ghost + inc_center
+            tot = base + inc
+            totC = tot[1:sz + 1]
+            baseC = base[1:sz + 1]
+            incC = inc[1:sz + 1]
+            xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
+                           pltpu.roll(totC, 1, 2))
+            xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
+                           pltpu.roll(totC, n - 1, 2))
+            ym = jnp.where(yg == 1, pltpu.roll(baseC, 1, 1) + incC,
+                           pltpu.roll(totC, 1, 1))
+            yp = jnp.where(yg == m0 - 2, pltpu.roll(baseC, m - 1, 1) + incC,
+                           pltpu.roll(totC, m - 1, 1))
+            zm = jnp.where(zg == 1, base[0:sz] + incC, tot[0:sz])
+            zp = jnp.where(zg == p_int, base[2:sz + 2] + incC,
+                           tot[2:sz + 2])
+            return (sw_xm * (xm - baseC) + sw_xp * (xp - baseC)
+                    + sw_ym * (ym - baseC) + sw_yp * (yp - baseC)
+                    + sw_zm * (zm - baseC) + sw_zp * (zp - baseC))
+
+        nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
+        nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
+        nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+
+        new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
+        new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
+        new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+
+        vmem_out[0] = jnp.where(mask, new_du, duC)
+        vmem_out[1] = jnp.where(mask, new_dv, dvC)
+        vmem_out[2] = jnp.where(mask, new_dw, dwC)
+
+        od = pltpu.make_async_copy(
+            vmem_out, out_ref.at[:, pl.ds(i * sz + 2, sz)], sem_out.at[0])
+        od.start()
+        od.wait()
+
+
+def _pick_slab_psi(p_int, m, n, budget_bytes=11 * 2 ** 20):
+    # phase-0 peak: (3+3) fields x (sz+4) rows + psi/out buffers
+    per_slice = m * n * 4
+    sz = max(1, int((budget_bytes // per_slice - 30) // 17))
+    return min(sz, p_int)
+
+
+def sweep_iterations_pallas_psi(du, dv, dw, u, v, w, SJ, params, n_iters,
+                                interpret=False):
+    """``n_iters`` full psi->red->black iterations in ONE pallas_call.
+
+    params: (7,) [ax, ay, az, a_smooth, 0.5/hx, 0.5/hy, 0.5/hz]. Boundary
+    rings of du/dv/dw are NOT updated (callers apply set_boundary after).
+    """
+    if interpret:
+        # the interpreter does not expose aliased writes across grid
+        # programs; emulate with per-phase calls (psi in XLA, halfsweeps
+        # via the single-phase psi kernel)
+        from flowreg3d_tpu.core.solver import (_psi_smooth_field,
+                                               set_boundary_3d)
+
+        params = jnp.asarray(params, du.dtype)
+        a_s = params[3]
+        hx, hy, hz = 0.5 / params[4], 0.5 / params[5], 0.5 / params[6]
+        sweep_params = params[:3]
+        for _ in range(n_iters):
+            du = set_boundary_3d(du)
+            dv = set_boundary_3d(dv)
+            dw = set_boundary_3d(dw)
+            psi = _psi_smooth_field(u, du, v, dv, w, dw, a_s, hx, hy, hz)
+            du, dv, dw = halfsweep_pallas_psi(
+                du, dv, dw, u, v, w, psi, SJ, sweep_params, 0,
+                interpret=True)
+            du = set_boundary_3d(du)
+            dv = set_boundary_3d(dv)
+            dw = set_boundary_3d(dw)
+            du, dv, dw = halfsweep_pallas_psi(
+                du, dv, dw, u, v, w, psi, SJ, sweep_params, 1,
+                interpret=True)
+        return du, dv, dw
+
+    p, m0, n0 = du.shape
+    p_int = p - 2
+    m = -(-m0 // 8) * 8
+    n = -(-n0 // 128) * 128
+    sz = _pick_slab_psi(p_int, m, n)
+    n_slabs = -(-p_int // sz)
+    # one leading pad row (global g at padded g+1) + phase-0 halo tail
+    pp = n_slabs * sz + 6
+
+    def padf(f):
+        return jnp.pad(f, ((1, pp - p - 1), (0, m - m0), (0, n - n0)))
+
+    duvw = jnp.stack([padf(du), padf(dv), padf(dw)])
+    base = jnp.stack([padf(u), padf(v), padf(w)])
+    sj = jnp.stack([padf(f) for f in SJ])
+    psi_seed = jnp.zeros((pp, m, n), du.dtype)
+
+    kern = functools.partial(_sweep_kernel_psi, n_iters, p_int, m0, n0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_iters, 3, n_slabs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((3, sz + 4, m, n), du.dtype),
+            pltpu.VMEM((3, sz + 4, m, n), du.dtype),
+            pltpu.VMEM((_N_SLAB, sz, m, n), du.dtype),
+            pltpu.VMEM((sz + 2, m, n), du.dtype),
+            pltpu.VMEM((3, sz, m, n), du.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out, _ = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((3, pp, m, n), du.dtype),
+                   jax.ShapeDtypeStruct((pp, m, n), du.dtype)],
+        input_output_aliases={1: 0, 4: 1},  # +1 for scalar prefetch
+        interpret=interpret,
+    )(jnp.asarray(params, du.dtype), duvw, base, sj, psi_seed)
+    return tuple(out[k, 1:p + 1, :m0, :n0] for k in range(3))
+
+
+def halfsweep_pallas_psi(du, dv, dw, u, v, w, psi, SJ, params, red_phase,
+                         interpret=False):
+    """One red/black half-sweep with per-voxel diffusivity field ``psi``.
+
+    Caller must have applied set_boundary to du/dv/dw; psi must be defined
+    on the full grid (rings included). Returns updated (du, dv, dw) with
+    ring rows passed through unchanged.
+    """
+    p, m0, n0 = du.shape
+    p_int = p - 2
+    m = -(-m0 // 8) * 8
+    n = -(-n0 // 128) * 128
+    sz = _pick_slab(p_int, m, n)
+    n_slabs = -(-p_int // sz)
+    p_pad = n_slabs * sz + 2
+    padz = p_pad - p
+
+    def padf(f):
+        return jnp.pad(f, ((0, padz), (0, m - m0), (0, n - n0)))
+
+    halo_in = [padf(f) for f in (du, dv, dw, u, v, w, psi)]
+    slab_in = [padf(f) for f in SJ]
+
+    kern = functools.partial(_kernel_psi, red_phase, p_int, m0, n0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_slabs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        * (_N_HALO_PSI + _N_SLAB),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((_N_HALO_PSI, sz + 2, m, n), du.dtype),
+            pltpu.VMEM((_N_SLAB, sz, m, n), du.dtype),
+            pltpu.VMEM((3, sz, m, n), du.dtype),
+            pltpu.SemaphoreType.DMA((_N_HALO_PSI + _N_SLAB,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((p_pad, m, n), du.dtype)] * 3,
+        input_output_aliases={1: 0, 2: 1, 3: 2},  # +1 for scalar prefetch
+        interpret=interpret,
+    )(jnp.asarray(params, du.dtype), *halo_in, *slab_in)
+    return tuple(f[:p, :m0, :n0] for f in out)
+
+
 def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
                   sj_ref, out_ref, vmem_duvw, vmem_base, vmem_sj, vmem_out,
                   sem_in, sem_out):

@@ -83,3 +83,66 @@ def test_solve_pallas_interpret_matches_xla(shape):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_asmooth_halfsweeps_match_numpy_oracle():
+    """psi-kernel red+black sweep (interpret) == numpy oracle, a_smooth=0.5."""
+    from flowreg3d_tpu.core.solver import set_boundary_3d, _psi_smooth_field
+    from flowreg3d_tpu.core.solver_pallas import halfsweep_pallas_psi
+
+    Jt, weight, u, v, w = _inputs()
+    J = [np.asarray(Jt[i], np.float64) for i in range(10)]
+    alpha = (1.5, 1.2, 1.1)
+    want = sor_redblack_oracle(J, np.asarray(weight), np.asarray(u),
+                               np.asarray(v), np.asarray(w), alpha,
+                               iterations=1, update_lag=5, a_data=[1.0],
+                               a_smooth=0.5, hx=1.0, hy=1.0, hz=1.0)
+
+    SJ = tuple(jnp.sum(weight * Jt[i], -1)
+               for i in (0, 1, 2, 4, 5, 6, 7, 8, 9))
+    params = jnp.asarray(alpha, jnp.float32)
+    du = jnp.zeros_like(u)
+    dv = jnp.zeros_like(u)
+    dw = jnp.zeros_like(u)
+    for phase in (0, 1):
+        du = set_boundary_3d(du)
+        dv = set_boundary_3d(dv)
+        dw = set_boundary_3d(dw)
+        if phase == 0:
+            psi = _psi_smooth_field(u, du, v, dv, w, dw, 0.5, 1.0, 1.0, 1.0)
+        du, dv, dw = halfsweep_pallas_psi(du, dv, dw, u, v, w, psi, SJ,
+                                          params, phase, interpret=True)
+    du = set_boundary_3d(du)
+    dv = set_boundary_3d(dv)
+    dw = set_boundary_3d(dw)
+    for got, ref in zip((du, dv, dw), want):
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-5,
+                                   atol=3e-5)
+
+
+@pytest.mark.parametrize("a_smooth", [0.5, 0.75])
+def test_solve_pallas_asmooth_interpret_matches_xla(a_smooth):
+    """Flow-driven-diffusivity kernel path (interpret) == XLA path.
+
+    The reference's *default* configuration uses a_smooth=0.5 (reference
+    core/optical_flow_3d.py:319), so this is the quality-config parity.
+    """
+    Jt, weight, u, v, w = _inputs((9, 12, 16))
+    alpha = jnp.asarray((1.0, 1.2, 0.9), jnp.float32)
+    a_data = jnp.asarray([0.45], jnp.float32)
+    one = jnp.float32(1.0)
+    args = (Jt, weight, u, v, w, alpha, a_data, jnp.float32(a_smooth),
+            one, one, one, 6, 3, False)
+    ref = _solve(*args, use_pallas=False)
+    import flowreg3d_tpu.core.solver_pallas as sp
+
+    orig = sp.sweep_iterations_pallas_psi
+    sp.sweep_iterations_pallas_psi = (
+        lambda *a, **k: orig(*a, interpret=True, **k))
+    try:
+        got = _solve(*args, use_pallas=True)
+    finally:
+        sp.sweep_iterations_pallas_psi = orig
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-3)
