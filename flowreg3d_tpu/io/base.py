@@ -139,6 +139,16 @@ class VideoReader3D(ABC):
     def reset(self):
         self.current_frame = 0
 
+    def seek_frame(self, binned_frame):
+        """Position the stream so ``read_batch`` resumes at the given BINNED
+        frame index without decoding the skipped range (checkpoint resume)."""
+        self._ensure_initialized()
+        raw = int(binned_frame) * self.bin_size
+        if not 0 <= raw <= self.frame_count:
+            raise ValueError(
+                f"seek to binned frame {binned_frame} outside stream")
+        self.current_frame = raw
+
     def __len__(self):
         return self.binned_count
 

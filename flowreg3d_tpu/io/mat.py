@@ -56,6 +56,14 @@ class MATFileReader3D(VideoReader3D):
         self.buffer_size = buffer_size
         self.bin_size = bin_size
         self.dataset_names = kwargs.get("dataset_names")
+        # positions of logical (Z, Y, X, T) in the STORED array (reference
+        # mat_3d.py:38-40,225-247 semantics, normalized to a 4-tuple).
+        # v7.3 default (3,2,1,0): a genuine MATLAB (Z,Y,X,T) variable is
+        # seen reversed by h5py as (T,X,Y,Z); our own writer records the
+        # actual ordering in a 'dimension_ordering' attribute which takes
+        # precedence over this default. v5 default (0,1,2,3): scipy returns
+        # MATLAB's (Z,Y,X,T) directly.
+        self.dimension_ordering = kwargs.get("dimension_ordering")
         self._h5 = None
         self._arrays = None  # list of (T,Z,Y,X) numpy arrays, one per channel
         self._is73 = None
@@ -90,17 +98,36 @@ class MATFileReader3D(VideoReader3D):
                 self.dataset_names = self._discover(info)
             if not self.dataset_names:
                 raise ValueError("No suitable datasets found in MAT v7.3 file")
-            # MATLAB stores reversed dims: file (X,Y,Z,T) -> numpy (T,Z,Y,X)
-            shape = self._h5[self.dataset_names[0]].shape
+            ds = self._h5[self.dataset_names[0]]
+            shape = ds.shape
+            if self.dimension_ordering is None:
+                attr = ds.attrs.get("dimension_ordering")
+                if attr is not None:
+                    self.dimension_ordering = tuple(int(a) for a in attr)
+                elif len(shape) == 4:
+                    self.dimension_ordering = (3, 2, 1, 0)
+                else:
+                    self.dimension_ordering = (2, 1, 0)
+            do = tuple(self.dimension_ordering)
             if len(shape) == 4:
-                self.frame_count, self.depth, self.height, self.width = shape
+                if len(do) != 4:
+                    raise ValueError(
+                        "dimension_ordering must have 4 entries (Z,Y,X,T) "
+                        f"for rank-4 data, got {do}")
+                self.depth = shape[do[0]]
+                self.height = shape[do[1]]
+                self.width = shape[do[2]]
+                self.frame_count = shape[do[3]]
             elif len(shape) == 3:
-                self.depth, self.height, self.width = shape
+                do3 = do[:3]
+                self.depth = shape[do3[0]]
+                self.height = shape[do3[1]]
+                self.width = shape[do3[2]]
                 self.frame_count = 1
             else:
                 raise ValueError(f"Unsupported MAT array rank {len(shape)}")
             self.n_channels = len(self.dataset_names)
-            self.dtype = self._h5[self.dataset_names[0]].dtype
+            self.dtype = ds.dtype
         else:
             from scipy.io import loadmat
 
@@ -112,14 +139,17 @@ class MATFileReader3D(VideoReader3D):
                 self.dataset_names = self._discover(info)
             if not self.dataset_names:
                 raise ValueError("No suitable variables found in MAT file")
+            if self.dimension_ordering is None:
+                self.dimension_ordering = (0, 1, 2, 3)
+            do = tuple(self.dimension_ordering)
             self._arrays = []
             for name in self.dataset_names:
                 arr = data[name]
-                # MATLAB layout (Z,Y,X,T) -> (T,Z,Y,X)
+                # stored layout (per dimension_ordering) -> (T,Z,Y,X)
                 if arr.ndim == 4:
-                    arr = np.transpose(arr, (3, 0, 1, 2))
+                    arr = np.transpose(arr, (do[3], do[0], do[1], do[2]))
                 elif arr.ndim == 3:
-                    arr = arr[np.newaxis]
+                    arr = np.transpose(arr, do[:3])[np.newaxis]
                 self._arrays.append(arr)
             first = self._arrays[0]
             (self.frame_count, self.depth, self.height, self.width) = first.shape
@@ -131,12 +161,20 @@ class MATFileReader3D(VideoReader3D):
                 and np.all(np.diff(frame_indices) == 1):
             frame_indices = slice(frame_indices[0], frame_indices[-1] + 1)
         if self._is73:
+            do = tuple(self.dimension_ordering)
             chans = []
             for name in self.dataset_names:
                 ds = self._h5[name]
-                raw = ds[frame_indices] if ds.ndim == 4 else ds[()][np.newaxis]
-                # file (T,Z,Y,X) after h5py C-order read of MATLAB (X,Y,Z,T)
-                chans.append(np.asarray(raw))
+                if ds.ndim == 4:
+                    idx = [slice(None)] * 4
+                    idx[do[3]] = frame_indices
+                    raw = np.asarray(ds[tuple(idx)])
+                    # T-axis position after indexing: fancy-index with a
+                    # list keeps the axis in place; slices keep all axes
+                    raw = np.transpose(raw, (do[3], do[0], do[1], do[2]))
+                else:
+                    raw = np.transpose(np.asarray(ds[()]), do[:3])[np.newaxis]
+                chans.append(raw)
             return np.stack(chans, axis=-1)
         return np.stack([a[frame_indices] for a in self._arrays], axis=-1)
 
@@ -197,9 +235,14 @@ class MATFileWriter3D(VideoWriter3D):
 
         with h5py.File(self.file_path, "w", userblock_size=512) as f:
             for name, arr in variables.items():
-                # store (T,Z,Y,X) C-order; MATLAB sees reversed (X,Y,Z,T)
-                ds = f.create_dataset(name, data=arr)
+                # store (T,X,Y,Z) C-order so MATLAB sees the conventional
+                # (Z,Y,X,T) layout (reference mat_3d.py:225-247); record the
+                # ordering so our reader round-trips without guessing
+                ds = f.create_dataset(name, data=np.transpose(
+                    arr, (0, 3, 2, 1)))
                 mat_class = _MATLAB_CLASSES.get(
                     arr.dtype.str[1:], "double")
                 ds.attrs["MATLAB_class"] = np.bytes_(mat_class)
+                ds.attrs["dimension_ordering"] = np.asarray(
+                    (3, 2, 1, 0), np.int64)
         _write_mat73_userblock(self.file_path)

@@ -103,6 +103,14 @@ class PrefetchReader3D(VideoReader3D):
         self._exhausted = False
         self._error = None
 
+    def seek_frame(self, binned_frame):
+        self._ensure_initialized()
+        if self._queue is not None:
+            raise RuntimeError("cannot seek after streaming has started")
+        with self._lock:
+            self.reader.seek_frame(binned_frame)
+        self.current_frame = self.reader.current_frame
+
     def _read_raw_frames(self, frame_indices):
         with self._lock:
             return self.reader._read_raw_frames(frame_indices)

@@ -240,7 +240,11 @@ class BatchMotionCorrector:
         np.savez(self._checkpoint_path(), frames_done=frames_done,
                  w_init=self.w_init if self.w_init is not None else 0,
                  reference_raw=self.reference_raw,
-                 reference_proc=self.reference_proc)
+                 reference_proc=self.reference_proc,
+                 mean_disp=np.asarray(self.mean_disp),
+                 max_disp=np.asarray(self.max_disp),
+                 mean_div=np.asarray(self.mean_div),
+                 mean_translation=np.asarray(self.mean_translation))
 
     def _load_checkpoint(self):
         p = self._checkpoint_path()
@@ -272,8 +276,28 @@ class BatchMotionCorrector:
             self.w_init = np.asarray(ckpt["w_init"], np.float32)
             self.reference_raw = np.asarray(ckpt["reference_raw"])
             self.reference_proc = np.asarray(ckpt["reference_proc"])
+            # restore per-frame statistics so statistics.npz after a
+            # resumed run matches an uninterrupted one
+            for key in ("mean_disp", "max_disp", "mean_div",
+                        "mean_translation"):
+                if key in ckpt:
+                    getattr(self, key).extend(
+                        np.asarray(ckpt[key]).reshape(-1).tolist())
             if self.config.verbose:
                 print(f"Resuming from checkpoint at frame {frames_to_skip}")
+            # fast-forward without decoding the already-processed batches
+            seek = getattr(self.video_reader, "seek_frame", None)
+            if seek is not None and frames_to_skip:
+                try:
+                    seek(frames_to_skip)
+                    seeked_frames = frames_to_skip
+                    frames_to_skip = 0
+                except (ValueError, RuntimeError):
+                    seeked_frames = 0  # stream started: skip-read fallback
+            else:
+                seeked_frames = 0
+        else:
+            seeked_frames = 0
 
         if self.config.verbose:
             print(f"Starting compensation with "
@@ -281,7 +305,7 @@ class BatchMotionCorrector:
                   f"buffer={self.options.buffer_size}")
 
         batch_idx = 0
-        total_frames = 0
+        total_frames = seeked_frames
         start_time = time()
         try:
             while self.video_reader.has_batch():

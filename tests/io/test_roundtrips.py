@@ -110,6 +110,49 @@ def test_mat73_roundtrip(tmp_path, video):
     assert is_mat73(tmp_path / "v.mat")
 
 
+def test_mat73_matlab_interop(tmp_path):
+    """A genuine MATLAB-written v7.3 file (variable (Z,Y,X,T) in MATLAB,
+    reversed to (T,X,Y,Z) by HDF5's C-order view) must map to (T,Z,Y,X,C)
+    without any kwargs (reference mat_3d.py:38-40,225-247)."""
+    import h5py
+
+    from flowreg3d_tpu.io.mat import _write_mat73_userblock
+
+    rng = np.random.default_rng(2)
+    tzyx = (rng.random((4, 5, 6, 7)) * 50).astype(np.float64)
+    path = tmp_path / "matlab.mat"
+    with h5py.File(path, "w", userblock_size=512) as f:
+        # what hdf5storage/MATLAB produce for a (Z,Y,X,T) variable
+        ds = f.create_dataset("mov", data=np.transpose(tzyx, (0, 3, 2, 1)))
+        ds.attrs["MATLAB_class"] = np.bytes_("double")
+    _write_mat73_userblock(path)
+
+    r = get_video_file_reader(str(path))
+    data = r[:]
+    r.close()
+    assert data.shape == (4, 5, 6, 7, 1)
+    np.testing.assert_array_equal(data[..., 0], tzyx)
+
+
+def test_mat73_dimension_ordering_kwarg(tmp_path):
+    """Explicit dimension_ordering overrides the default interpretation."""
+    import h5py
+
+    from flowreg3d_tpu.io.mat import MATFileReader3D, _write_mat73_userblock
+
+    rng = np.random.default_rng(3)
+    tzyx = (rng.random((3, 4, 5, 6)) * 10).astype(np.float32)
+    path = tmp_path / "o.mat"
+    with h5py.File(path, "w", userblock_size=512) as f:
+        f.create_dataset("mov", data=tzyx)  # stored plainly as (T,Z,Y,X)
+    _write_mat73_userblock(path)
+
+    r = MATFileReader3D(str(path), dimension_ordering=(1, 2, 3, 0))
+    data = r[:]
+    r.close()
+    np.testing.assert_array_equal(data[..., 0], tzyx)
+
+
 def test_mat5_roundtrip(tmp_path, video):
     data = _roundtrip(video, tmp_path / "v5.mat", "MAT", version="5")
     np.testing.assert_array_equal(data, video)

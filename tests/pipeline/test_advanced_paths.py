@@ -119,3 +119,49 @@ def test_checkpoint_resume(tmp_path, video5d, base_volume):
     # resumed run skipped the first batch (2 frames): output holds the rest
     assert r.shape[0] == video5d.shape[0] - 2
     r.close()
+
+
+def test_checkpoint_resume_statistics_complete(tmp_path, video5d):
+    """statistics.npz after interrupt+resume == uninterrupted run."""
+    from flowreg3d_tpu.io.factory import get_video_file_writer
+
+    src = tmp_path / "in.h5"
+    wtr = get_video_file_writer(str(src), "HDF5")
+    wtr.write_frames((video5d * 1000).astype(np.uint16))
+    wtr.close()
+
+    def mk_opts(out):
+        return fast_options(
+            input_file=str(src), output_path=tmp_path / out,
+            output_format="HDF5", reference_frames=[0], buffer_size=2)
+
+    cfg = RegistrationConfig(checkpoint=True)
+    compensate_recording(mk_opts("full"), config=cfg)
+    full = np.load(tmp_path / "full" / "statistics.npz")
+
+    # interrupted run: process one batch, snapshot the checkpoint, abort
+    corr = BatchMotionCorrector(mk_opts("resumed"), cfg)
+
+    calls = {"n": 0}
+    orig = BatchMotionCorrector._save_checkpoint
+
+    def boom(self, frames_done):
+        orig(self, frames_done)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt
+
+    BatchMotionCorrector._save_checkpoint = boom
+    try:
+        with np.testing.assert_raises(KeyboardInterrupt):
+            corr.run()
+    finally:
+        BatchMotionCorrector._save_checkpoint = orig
+
+    assert (tmp_path / "resumed" / "checkpoint.npz").exists()
+    compensate_recording(mk_opts("resumed"), config=cfg)
+    res = np.load(tmp_path / "resumed" / "statistics.npz")
+    for key in ("mean_disp", "max_disp", "mean_div", "mean_translation"):
+        assert res[key].shape == full[key].shape, key
+        np.testing.assert_allclose(res[key], full[key], rtol=1e-4,
+                                   atol=1e-5, err_msg=key)
