@@ -94,38 +94,44 @@ def concat_tiffs(args):
         print(f"Would write {args.output_file}")
         return 0
 
-    volumes = []
-    for t in range(n_t):
-        chans = [_read_volume(group[t], args.dim_order)
-                 for group in channel_files]
-        vol = np.concatenate(chans, axis=-1) if len(chans) > 1 else chans[0]
-        if volumes and vol.shape != volumes[0].shape:
-            raise ValueError(
-                f"Volume {t} shape {vol.shape} != first {volumes[0].shape}")
-        if args.verbose:
-            print(f"  [{t + 1}/{n_t}] {vol.shape}")
-        volumes.append(vol)
-    movie = np.stack(volumes)
-
-    if args.scale is not None:
-        from flowreg3d_tpu.ops.resize import imresize_fused_gauss_cubic3D
-
-        sx, sy, sz = args.scale
-        T, Z, Y, X, C = movie.shape
-        out_size = (max(1, round(Z * sz)), max(1, round(Y * sy)),
-                    max(1, round(X * sx)))
-        movie = np.stack([
-            np.asarray(imresize_fused_gauss_cubic3D(movie[t], out_size))
-            for t in range(T)])
-
+    # stream: one timepoint resident at a time -> constant memory for
+    # arbitrarily many per-timepoint files
     from flowreg3d_tpu.io.tiff3d import TIFFFileWriter3D
     from flowreg3d_tpu.io.multifile import MULTIFILEFileWriter3D
 
-    if args.split_channels and movie.shape[-1] > 1:
-        w = MULTIFILEFileWriter3D(args.output_file, "TIFF")
-    else:
-        w = TIFFFileWriter3D(args.output_file)
-    with w:
-        w.write_frames(movie)
-    print(f"Wrote {movie.shape[0]} timepoints to {args.output_file}")
+    writer = None
+    first_shape = None
+    try:
+        for t in range(n_t):
+            chans = [_read_volume(group[t], args.dim_order)
+                     for group in channel_files]
+            vol = (np.concatenate(chans, axis=-1) if len(chans) > 1
+                   else chans[0])
+            if first_shape is None:
+                first_shape = vol.shape
+            elif vol.shape != first_shape:
+                raise ValueError(
+                    f"Volume {t} shape {vol.shape} != first {first_shape}")
+            if args.verbose:
+                print(f"  [{t + 1}/{n_t}] {vol.shape}")
+            if args.scale is not None:
+                from flowreg3d_tpu.ops.resize import (
+                    imresize_fused_gauss_cubic3D)
+
+                sx, sy, sz = args.scale
+                Z, Y, X, C = vol.shape
+                out_size = (max(1, round(Z * sz)), max(1, round(Y * sy)),
+                            max(1, round(X * sx)))
+                vol = np.asarray(imresize_fused_gauss_cubic3D(vol, out_size))
+            if writer is None:
+                if args.split_channels and vol.shape[-1] > 1:
+                    writer = MULTIFILEFileWriter3D(args.output_file, "TIFF")
+                else:
+                    writer = TIFFFileWriter3D(args.output_file,
+                                              expected_frames=n_t)
+            writer.write_frames(vol[np.newaxis])
+    finally:
+        if writer is not None:
+            writer.close()
+    print(f"Wrote {n_t} timepoints to {args.output_file}")
     return 0

@@ -51,14 +51,7 @@ def add_parser(subparsers):
     return parser
 
 
-def _load_pages(path):
-    from flowreg3d_tpu.io._tiff_format import TiffReader
-
-    with TiffReader(path) as tr:
-        return tr.asarray(), tr.imagej_metadata
-
-
-def _detect_structure(args, pages):
+def _detect_structure(args):
     """(slices, channels, frames_per_slice) from flags or metadata."""
     slices = args.slices_per_volume
     channels = args.channels
@@ -98,7 +91,35 @@ def _apply_scale(volumes, scale):
     return scaled
 
 
+def _read_volume(tr, v, slices, fps, channels, S, H, W, dtype):
+    """Assemble volume ``v`` as (1, Z, H, W, C) from page-granular reads.
+
+    Page order within a volume: z-major, frames-per-slice, then channel
+    (S == 1) — frames per slice are averaged (reference cli/tiff_reshape.py
+    ReshapeTIFFReader behavior).
+    """
+    per_volume = slices * fps * (channels if S == 1 else 1)
+    base = v * per_volume
+    vol = np.empty((1, slices, H, W, channels), dtype)
+    for z in range(slices):
+        if S > 1:
+            acc = np.zeros((H, W, S), np.float64)
+            for f in range(fps):
+                acc += tr.page_array(base + z * fps + f)
+            vol[0, z] = (acc / fps).astype(dtype)
+        else:
+            for c in range(channels):
+                acc = np.zeros((H, W), np.float64)
+                for f in range(fps):
+                    acc += tr.page_array(
+                        base + (z * fps + f) * channels + c)
+                vol[0, z, :, :, c] = (acc / fps).astype(dtype)
+    return vol
+
+
 def reshape_tiff(args):
+    from flowreg3d_tpu.io._tiff_format import TiffReader, _np_dtype
+
     if os.path.exists(args.output_file) and not args.overwrite:
         raise FileExistsError(
             f"{args.output_file} exists (use --overwrite)")
@@ -106,66 +127,58 @@ def reshape_tiff(args):
         warnings.warn("built-in TIFF codec writes uncompressed data; "
                       f"--compression {args.compression} ignored")
 
-    pages, ij_meta = _load_pages(args.input_file)
-    if pages.ndim == 4:  # (N, H, W, S) interleaved channels in samples
-        n_pages, H, W, S = pages.shape
-        pages = pages.reshape(n_pages * 1, H, W, S)
-    else:
-        n_pages, H, W = pages.shape
-        S = 1
-        pages = pages[..., np.newaxis]
+    with TiffReader(args.input_file) as tr:
+        n_pages = tr.n_pages
+        p0 = tr.pages[0]
+        H, W, S = p0.length, p0.width, p0.samples
+        dtype = _np_dtype(p0.sample_format, p0.bits, "=")
 
-    slices, channels, fps = _detect_structure(args, pages)
-    if S > 1:
-        channels = S
+        slices, channels, fps = _detect_structure(args)
+        if S > 1:
+            channels = S
 
-    per_volume = slices * fps * (channels if S == 1 else 1)
-    n_volumes = n_pages // per_volume
-    if n_volumes < 1:
-        raise ValueError(
-            f"{n_pages} pages < one volume ({per_volume} pages)")
+        per_volume = slices * fps * (channels if S == 1 else 1)
+        n_volumes = n_pages // per_volume
+        if n_volumes < 1:
+            raise ValueError(
+                f"{n_pages} pages < one volume ({per_volume} pages)")
 
-    if args.verbose or args.dry_run:
-        print(f"Input: {n_pages} pages of {H}x{W}")
-        print(f"Structure: {n_volumes} volumes x {slices} slices x "
-              f"{channels} channels (frames/slice {fps})")
+        if args.verbose or args.dry_run:
+            print(f"Input: {n_pages} pages of {H}x{W}")
+            print(f"Structure: {n_volumes} volumes x {slices} slices x "
+                  f"{channels} channels (frames/slice {fps})")
 
-    start = args.start_volume or 0
-    end = args.end_volume if args.end_volume is not None else n_volumes
-    sel = list(range(start, min(end, n_volumes), args.volume_stride))
-    if args.dry_run:
-        print(f"Would write {len(sel)} volumes "
-              f"({start}..{min(end, n_volumes)} step {args.volume_stride}) "
-              f"to {args.output_file}")
-        return 0
+        start = args.start_volume or 0
+        end = args.end_volume if args.end_volume is not None else n_volumes
+        sel = list(range(start, min(end, n_volumes), args.volume_stride))
+        if args.dry_run:
+            print(f"Would write {len(sel)} volumes "
+                  f"({start}..{min(end, n_volumes)} step "
+                  f"{args.volume_stride}) to {args.output_file}")
+            return 0
 
-    used = pages[: n_volumes * per_volume]
-    if S == 1:
-        shaped = used.reshape(n_volumes, slices, fps, channels, H, W)
-        shaped = shaped.mean(axis=2).astype(pages.dtype)  # avg frames/slice
-        volumes = np.moveaxis(shaped, 2, -1)  # (T, Z, H, W, C)
-    else:
-        shaped = used.reshape(n_volumes, slices, fps, H, W, S)
-        volumes = shaped.mean(axis=2).astype(pages.dtype)
-
-    volumes = volumes[sel]
-    if args.scale is not None:
-        volumes = _apply_scale(volumes, args.scale)
-
-    if args.verbose:
-        print(f"Writing {volumes.shape} -> {args.output_file}")
-    _write_output(volumes, args.output_file, args.split_channels)
-    print(f"Wrote {volumes.shape[0]} volumes to {args.output_file}")
+        # stream: one volume resident at a time -> constant memory for
+        # arbitrarily long recordings (reference util/io/tiff.py:18-582)
+        writer = _make_writer(args.output_file, args.split_channels,
+                              channels, expected_frames=len(sel))
+        try:
+            for v in sel:
+                vol = _read_volume(tr, v, slices, fps, channels, S, H, W,
+                                   dtype)
+                if args.scale is not None:
+                    vol = _apply_scale(vol, args.scale)
+                writer.write_frames(vol)
+        finally:
+            writer.close()
+    print(f"Wrote {len(sel)} volumes to {args.output_file}")
     return 0
 
 
-def _write_output(volumes, output_file, split_channels):
+def _make_writer(output_file, split_channels, n_channels,
+                 expected_frames=None):
     from flowreg3d_tpu.io.tiff3d import TIFFFileWriter3D
     from flowreg3d_tpu.io.multifile import MULTIFILEFileWriter3D
 
-    if split_channels and volumes.shape[-1] > 1:
-        w = MULTIFILEFileWriter3D(output_file, "TIFF")
-    else:
-        w = TIFFFileWriter3D(output_file)
-    with w:
-        w.write_frames(volumes)
+    if split_channels and n_channels > 1:
+        return MULTIFILEFileWriter3D(output_file, "TIFF")
+    return TIFFFileWriter3D(output_file, expected_frames=expected_frames)

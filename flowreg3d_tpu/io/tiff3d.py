@@ -20,7 +20,16 @@ from flowreg3d_tpu.io.base import VideoReader3D, VideoWriter3D
 
 
 class TIFFFileReader3D(VideoReader3D):
-    """Whole-file TIFF reader with dimension-order normalization."""
+    """Streaming page-based TIFF reader with constant-memory access.
+
+    Pages are decoded on demand per requested frame (reference
+    util/io/tiff.py's page-granular streaming, :18-582), so recordings far
+    larger than host RAM stream through ``read_batch`` in constant memory.
+    ImageJ hyperstacks (page order T->Z->C, C fastest) and interleaved-
+    channel pages (samples-per-pixel -> deinterleaved channels) resolve the
+    (t, z, c) -> page mapping directly; exotic ``dim_order`` layouts fall
+    back to an eager whole-file load + transpose.
+    """
 
     def __init__(self, file_path, buffer_size=10, bin_size=1,
                  dim_order="TZYXC", **kwargs):
@@ -32,28 +41,53 @@ class TIFFFileReader3D(VideoReader3D):
         if not set("TXYZ").issubset(set(self.dim_order)):
             raise ValueError(
                 f"dim_order must contain T, X, Y, Z. Got: {dim_order}")
-        self._data = None
+        self._data = None      # eager-fallback storage
+        self._tf = None        # streaming page reader
+        self._samples = 1
         if not os.path.isfile(self.file_path):
             raise FileNotFoundError(f"TIFF file not found: {file_path}")
 
     def _initialize(self):
-        with TiffReader(self.file_path) as tf:
-            pages = tf.asarray()  # (N, H, W[, S])
-            ij = tf.imagej_metadata
+        self._tf = TiffReader(self.file_path)
+        ij = self._tf.imagej_metadata
+        n = self._tf.n_pages
+        p0 = self._tf.pages[0]
+        H, W, S = p0.length, p0.width, p0.samples
+        self._samples = S
 
         if ij:
             frames = int(ij.get("frames", 1))
             slices = int(ij.get("slices", 1))
             channels = int(ij.get("channels", 1))
-            n = int(ij.get("images", pages.shape[0]))
-            if pages.ndim == 3 and frames * slices * channels == n:
-                # hyperstack page order: T outer, Z, C inner
-                data = pages.reshape(frames, slices, channels,
-                                     *pages.shape[1:])
-                self._data = np.moveaxis(data, 2, -1)  # (T,Z,Y,X,C)
-                self._set_dims()
+            if S == 1 and frames * slices * channels == n:
+                self._stream_dims(frames, slices, H, W, channels)
                 return
-        # fall back to declared dim_order
+            if S > 1 and frames * slices == n and channels in (1, S):
+                self._stream_dims(frames, slices, H, W, S)
+                return
+        if self.dim_order in ("TZYXC", "TZYX", "TYXC", "TYX"):
+            # plain page stack: N pages = T (Z folded only via metadata)
+            self._stream_dims(n, 1, H, W, S)
+            return
+        if self.dim_order in ("ZYX", "ZYXC"):
+            self._stream_dims(1, n, H, W, S)
+            return
+        self._initialize_eager()
+
+    def _stream_dims(self, frames, slices, H, W, channels):
+        self.frame_count = frames
+        self.depth = slices
+        self.height = H
+        self.width = W
+        self.n_channels = channels
+        p0 = self._tf.pages[0]
+        from flowreg3d_tpu.io._tiff_format import _np_dtype
+
+        self.dtype = _np_dtype(p0.sample_format, p0.bits, "=")
+
+    def _initialize_eager(self):
+        """Whole-file load for layouts the page mapping cannot express."""
+        pages = self._tf.asarray()  # (N, H, W[, S])
         arr = pages
         order = self.dim_order
         if "C" not in order:
@@ -68,8 +102,6 @@ class TIFFFileReader3D(VideoReader3D):
                     f"'{self.dim_order}'")
         elif arr.ndim == len(order) - 1:
             arr = np.expand_dims(arr, axis=order.index("C"))
-        # a multipage (N,H,W) file with TZYXC declared: N folds T*Z only if
-        # T or Z is 1; treat N as T with Z=1 when rank is short by one more
         while arr.ndim < len(order):
             arr = arr[np.newaxis]
         if arr.ndim != len(order):
@@ -77,18 +109,36 @@ class TIFFFileReader3D(VideoReader3D):
                 f"Dimension mismatch: array {arr.shape} vs order '{order}'")
         perm = [order.index(d) for d in "TZYXC"]
         self._data = np.transpose(arr, perm)
-        self._set_dims()
-
-    def _set_dims(self):
         (self.frame_count, self.depth, self.height, self.width,
          self.n_channels) = self._data.shape
         self.dtype = self._data.dtype
 
     def _read_raw_frames(self, frame_indices):
-        return self._data[frame_indices].copy()
+        if self._data is not None:
+            return self._data[frame_indices].copy()
+        if isinstance(frame_indices, slice):
+            ts = range(*frame_indices.indices(self.frame_count))
+        else:
+            ts = list(frame_indices)
+        Z, Y, X, C = (self.depth, self.height, self.width, self.n_channels)
+        out = np.empty((len(ts), Z, Y, X, C), self.dtype)
+        S = self._samples
+        for k, t in enumerate(ts):
+            for z in range(Z):
+                if S > 1:
+                    # interleaved channels live in the page's sample axis
+                    out[k, z] = self._tf.page_array(t * Z + z)
+                else:
+                    for c in range(C):
+                        out[k, z, :, :, c] = self._tf.page_array(
+                            (t * Z + z) * C + c)
+        return out
 
     def close(self):
         self._data = None
+        if self._tf is not None:
+            self._tf.close()
+            self._tf = None
 
 
 class TIFFFileWriter3D(VideoWriter3D):
