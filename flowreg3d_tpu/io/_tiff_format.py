@@ -35,6 +35,7 @@ TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR_CONFIG = 284
+TAG_ARTIST = 315           # ScanImage stores ROI-group JSON here
 TAG_SAMPLE_FORMAT = 339
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
@@ -73,7 +74,7 @@ class TiffPage:
     __slots__ = ("width", "length", "bits", "samples", "compression",
                  "photometric", "sample_format", "rows_per_strip",
                  "strip_offsets", "strip_byte_counts", "description",
-                 "planar_config", "offset")
+                 "planar_config", "offset", "artist")
 
     def __init__(self):
         self.width = 0
@@ -89,6 +90,7 @@ class TiffPage:
         self.description = ""
         self.planar_config = 1
         self.offset = 0
+        self.artist = ""
 
     @property
     def shape(self):
@@ -209,6 +211,8 @@ class TiffReader:
             page.photometric = int(vals[0])
         elif tag == TAG_IMAGE_DESCRIPTION:
             page.description = vals
+        elif tag == TAG_ARTIST:
+            page.artist = vals
         elif tag in (TAG_STRIP_OFFSETS, TAG_TILE_OFFSETS):
             page.strip_offsets = [int(v) for v in vals]
         elif tag == TAG_SAMPLES_PER_PIXEL:
@@ -328,6 +332,7 @@ class TiffWriter:
         self._bigtiff = bigtiff
         self._pages = []  # (offset, nbytes, shape, dtype)
         self._description_first = None
+        self._artist_first = None
         # reserve the maximal (BigTIFF) header; classic header fits inside
         self._fh.write(b"\x00" * 16)
         self._pos = 16
@@ -348,6 +353,10 @@ class TiffWriter:
 
     def set_description(self, description):
         self._description_first = description
+
+    def set_artist(self, artist):
+        """Artist tag on the first page (ScanImage ROI-group JSON)."""
+        self._artist_first = artist
 
     # -- IFD assembly -------------------------------------------------------
 
@@ -412,6 +421,10 @@ class TiffWriter:
             self._pack_entry(entries, TAG_STRIP_BYTE_COUNTS, off_typ, nbytes,
                              big, chunks)
             self._pack_entry(entries, TAG_PLANAR_CONFIG, 3, 1, big, chunks)
+            if idx == 0 and self._artist_first:
+                self._pack_entry(entries, TAG_ARTIST, 2,
+                                 self._artist_first.encode("ascii")
+                                 + b"\x00", big, chunks)
             self._pack_entry(entries, TAG_SAMPLE_FORMAT, 3,
                              _DTYPE_TO_FORMAT[dtype.kind], big, chunks)
 

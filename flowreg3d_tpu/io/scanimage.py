@@ -39,21 +39,72 @@ def parse_scanimage_header(text):
     return out
 
 
+def parse_roi_groups(artist_text):
+    """ScanImage ROI groups from the Artist-tag JSON.
+
+    Parity: reference util/io/_scanimage.py roi_data — ScanImage stores
+    mROI / scanfield geometry as JSON in TIFF tag 315 (Artist). Returns a
+    dict with the raw group plus a flattened ``rois`` list of
+    {name, enable, zs, scanfields: [{pixel_resolution (w,h), center_xy,
+    size_xy}]}; None when absent/unparseable.
+    """
+    import json
+
+    if not artist_text:
+        return None
+    try:
+        data = json.loads(artist_text)
+    except (ValueError, TypeError):
+        return None
+    groups = data.get("RoiGroups") or {}
+    imaging = groups.get("imagingRoiGroup") or {}
+    rois_in = imaging.get("rois")
+    if rois_in is None:
+        return None
+    if isinstance(rois_in, dict):
+        rois_in = [rois_in]
+    rois = []
+    for roi in rois_in:
+        sfs = roi.get("scanfields") or []
+        if isinstance(sfs, dict):
+            sfs = [sfs]
+        fields = []
+        for sf in sfs:
+            fields.append({
+                "pixel_resolution": tuple(
+                    sf.get("pixelResolutionXY") or (None, None)),
+                "center_xy": tuple(sf.get("centerXY") or (None, None)),
+                "size_xy": tuple(sf.get("sizeXY") or (None, None)),
+            })
+        zs = roi.get("zs", [])
+        if not isinstance(zs, list):
+            zs = [zs]
+        rois.append({
+            "name": roi.get("name"),
+            "enable": bool(roi.get("enable", True)),
+            "zs": zs,
+            "scanfields": fields,
+        })
+    return {"rois": rois, "n_rois": len(rois), "raw": groups}
+
+
 def parse_scanimage_metadata(source):
     """Structured metadata from a TIFF path or raw header text.
 
     Returns None when no ScanImage header is present; else a dict with
     channels / slices_per_volume / frames_per_slice / num_volumes /
-    frame_rate / z_step / is_scanimage.
+    frame_rate / z_step / roi_data / is_scanimage.
     """
     import os
 
+    artist = None
     if isinstance(source, str) and "SI." not in source \
             and os.path.isfile(source):
         from flowreg3d_tpu.io._tiff_format import TiffReader
 
         with TiffReader(source) as tr:
             text = tr.pages[0].description if tr.pages else ""
+            artist = tr.pages[0].artist if tr.pages else None
             n_pages = tr.n_pages
     else:
         text = source
@@ -84,6 +135,16 @@ def parse_scanimage_metadata(source):
     frame_rate = get("SI.hRoiManager.scanFrameRate", default=None)
     volume_rate = get("SI.hRoiManager.scanVolumeRate", default=None)
 
+    # FastZ (piezo) volumetric mode overrides the stack manager counts
+    # (reference _scanimage.py hFastZ handling)
+    if get("SI.hFastZ.enable", default=False):
+        fz_slices = get("SI.hFastZ.numFramesPerVolume", default=None)
+        if fz_slices:
+            slices = fz_slices
+        fz_volumes = get("SI.hFastZ.numVolumes", default=None)
+        if fz_volumes:
+            num_volumes = fz_volumes
+
     meta = {
         "is_scanimage": True,
         "channels": int(channels),
@@ -94,6 +155,7 @@ def parse_scanimage_metadata(source):
         "frame_rate": frame_rate,
         "volume_rate": volume_rate,
         "n_pages": n_pages,
+        "roi_data": parse_roi_groups(artist),
         "raw_fields": fields,
     }
     return meta
@@ -109,6 +171,14 @@ def interpret_scanimage_dimensions(meta, n_pages=None):
     channels = max(1, meta.get("channels") or 1)
     fps = max(1, meta.get("frames_per_slice") or 1)
     volumes = meta.get("num_volumes")
+    # discrete-plane mROI acquisition: the per-ROI z list defines the
+    # volumetric structure when the stack manager reports a flat stack
+    roi = meta.get("roi_data")
+    if slices == 1 and roi and roi.get("rois"):
+        zs = sorted({z for r in roi["rois"] if r.get("enable", True)
+                     for z in r.get("zs", [])})
+        if len(zs) > 1:
+            slices = len(zs)
     n_pages = n_pages if n_pages is not None else meta.get("n_pages")
     if volumes is None and n_pages:
         per_volume = slices * channels * fps
@@ -134,4 +204,11 @@ def format_scanimage_report(meta):
         lines.append(f"  frame rate:        {meta['frame_rate']} Hz")
     if meta.get("volume_rate") is not None:
         lines.append(f"  volume rate:       {meta['volume_rate']} Hz")
+    roi = meta.get("roi_data")
+    if roi and roi.get("rois"):
+        lines.append(f"  ROIs:              {roi['n_rois']}")
+        for r in roi["rois"]:
+            res = [sf["pixel_resolution"] for sf in r["scanfields"]]
+            lines.append(f"    - {r.get('name') or '(unnamed)'}: "
+                         f"zs={r['zs']} px={res}")
     return "\n".join(lines)
