@@ -129,7 +129,16 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                 u = add_boundary(resize_volume(uvw[..., 0], size, dtype=dtype))
                 v = add_boundary(resize_volume(uvw[..., 1], size, dtype=dtype))
                 w = add_boundary(resize_volume(uvw[..., 2], size, dtype=dtype))
-                tmp = f2_level
+                # warp by the resized initialization so the solver sees the
+                # RESIDUAL (reference core/optical_flow_3d.py:417-434 warps
+                # at every level; for uvw == 0 this is exactly f2_level)
+                tmp = imregister_wrapper(
+                    f2_level,
+                    u[1:-1, 1:-1, 1:-1] / hx,
+                    v[1:-1, 1:-1, 1:-1] / hy,
+                    w[1:-1, 1:-1, 1:-1] / hz,
+                    f1_level,
+                )
             else:
                 u = add_boundary(resize_volume(u[1:-1, 1:-1, 1:-1], size, dtype=dtype))
                 v = add_boundary(resize_volume(v[1:-1, 1:-1, 1:-1], size, dtype=dtype))

@@ -204,13 +204,24 @@ class BaseExecutor3D:
                       interpolation_method="cubic", progress_callback=None,
                       **kwargs):
         """Register a batch; returns (registered (T,Z,Y,X,C), flows
-        (T,Z,Y,X,3)). ``get_displacement_func``/``imregister_func`` exist for
-        protocol parity and are ignored — the compiled pipeline is used."""
+        (T,Z,Y,X,3)). A non-None ``get_displacement_func`` routes the batch
+        through the deep-flow plug-in path (reference parallelization/
+        base_3d.py:38 protocol; sequential_3d.py:148 per-frame call) —
+        external backends (volRAFT-style CNNs, ...) replace the variational
+        solver while the rest of the pipeline (prealignment, warping, dtype
+        restoration) is unchanged. Otherwise the compiled pipeline runs."""
         flow_params = dict(kwargs.get("flow_params", {}))
         batch, batch_proc, reference_raw, reference_proc = _normalize_inputs(
             batch, batch_proc, reference_raw, reference_proc)
         T = batch.shape[0]
         use_cc = bool(flow_params.get("cc_initialization", False))
+
+        if get_displacement_func is not None:
+            return self._run_custom_backend(
+                batch, batch_proc, reference_raw, reference_proc, w_init,
+                get_displacement_func, imregister_func,
+                interpolation_method, progress_callback, flow_params,
+                use_cc)
 
         weight_vol = self._weight_volume(flow_params, reference_proc)
         key = _config_key(reference_proc, flow_params, self.dtype)
@@ -245,6 +256,61 @@ class BaseExecutor3D:
     def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
              key, interp, progress_callback, extra_flow=None):
         raise NotImplementedError
+
+    # solver-facing kwargs only; pipeline-internal keys stay host-side
+    _PIPELINE_KEYS = ("cc_initialization", "cc_hw", "cc_up", "weight",
+                      "update_initialization_w")
+
+    def _run_custom_backend(self, batch, batch_proc, ref_raw, ref_proc,
+                            w_init, get_displacement_func, imregister_func,
+                            interp, progress_callback, flow_params, use_cc):
+        """Deep-flow plug-in path: per-frame host loop calling the external
+        displacement backend, then the (default or custom) warper."""
+        of_params = {k: v for k, v in flow_params.items()
+                     if k not in self._PIPELINE_KEYS}
+        if imregister_func is None:
+            def imregister_func(frame, u, v, w, ref,
+                                interpolation_method="cubic"):
+                return np.asarray(_jit_single_warp(interpolation_method)(
+                    jnp.asarray(frame, self.dtype),
+                    jnp.asarray(np.stack([u, v, w], axis=-1)),
+                    jnp.asarray(ref, self.dtype)))
+
+        T = batch.shape[0]
+        w_init = np.asarray(w_init, np.float32)
+        regs, flows = [], []
+        for t in range(T):
+            frame_proc = batch_proc[t]
+            base_flow = w_init
+            if use_cc:
+                frame_proc, base_flow = self._prealign(
+                    batch_proc[t], ref_proc, w_init, flow_params)
+                uvw_t = np.zeros_like(base_flow)
+            else:
+                uvw_t = w_init
+            flow = np.asarray(get_displacement_func(
+                ref_proc, frame_proc, uvw=uvw_t, **of_params), np.float32)
+            if use_cc:
+                flow = flow + base_flow
+            reg = np.asarray(imregister_func(
+                batch[t], flow[..., 0], flow[..., 1], flow[..., 2],
+                ref_raw, interpolation_method=interp))
+            if reg.ndim == 3:
+                reg = reg[..., np.newaxis]
+            regs.append(reg)
+            flows.append(flow)
+            if progress_callback:
+                progress_callback(1)
+        registered = np.stack(regs)
+        flows_arr = np.stack(flows)
+        if registered.dtype != batch.dtype:
+            if np.issubdtype(batch.dtype, np.integer):
+                info = np.iinfo(batch.dtype)
+                registered = np.clip(np.rint(registered), info.min,
+                                     info.max).astype(batch.dtype)
+            else:
+                registered = registered.astype(batch.dtype)
+        return registered, flows_arr
 
     def _finalize_cc(self, batch, flows, extra_flow, ref_raw, interp):
         """CC path step 6: total flow = combined + residual; re-warp raw."""

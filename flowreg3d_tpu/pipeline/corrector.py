@@ -48,6 +48,11 @@ class RegistrationConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output directory
     prefetch: int = 2  # host-side read-ahead batches (0 disables)
     async_write: bool = True  # background-thread output writing
+    # deep-flow plug-in: a get_displacement-protocol callable, or the name
+    # of a backend registered via runtime.register_flow_backend; None = the
+    # built-in variational solver
+    get_displacement_func: Optional[Callable] = None
+    flow_backend: Optional[str] = None
 
 
 class BatchMotionCorrector:
@@ -201,7 +206,19 @@ class BatchMotionCorrector:
             reference_raw=self.reference_raw,
             reference_proc=self.reference_proc,
             w_init=w_init, interpolation_method=interp,
+            get_displacement_func=self._resolve_flow_backend(),
             progress_callback=cb, flow_params=self._flow_params())
+
+    def _resolve_flow_backend(self):
+        if self.config.get_displacement_func is not None:
+            return self.config.get_displacement_func
+        if self.config.flow_backend not in (None, "", "variational"):
+            from flowreg3d_tpu.runtime import get_flow_backend
+
+            fn = get_flow_backend(self.config.flow_backend)
+            self.config.get_displacement_func = fn  # instantiate once
+            return fn
+        return None
 
     def _compute_initial_w(self, batch, batch_proc):
         Z, Y, X = self.reference_proc.shape[:3]

@@ -19,6 +19,35 @@ from contextlib import contextmanager
 _ENV_KEY = "FLOWREG3D_CONTEXT"
 _overrides = contextvars.ContextVar("flowreg3d_tpu_overrides", default=None)
 
+# -- deep-flow backend registry ---------------------------------------------
+# Plug-in point for external displacement estimators (volRAFT-style CNNs,
+# raft-2p, ...): a backend is a factory returning a callable with the
+# get_displacement protocol ``fn(fixed, moving, uvw=..., **params) ->
+# (Z,Y,X,3)`` that replaces the variational solver inside the executors
+# (reference _runtime.py:57-81 detection; parallelization/sequential_3d.py
+# :148 call site).
+_FLOW_BACKENDS = {}
+
+
+def register_flow_backend(name, factory):
+    """Register a displacement-backend factory under ``name``."""
+    _FLOW_BACKENDS[str(name)] = factory
+
+
+def get_flow_backend(name):
+    """Instantiate a registered backend; raises KeyError with choices."""
+    try:
+        factory = _FLOW_BACKENDS[str(name)]
+    except KeyError:
+        raise KeyError(
+            f"Unknown flow backend '{name}'. Registered: "
+            f"{sorted(_FLOW_BACKENDS)}") from None
+    return factory()
+
+
+def list_flow_backends():
+    return sorted(_FLOW_BACKENDS)
+
 
 class RuntimeContext:
     """Process-global runtime configuration with contextvar overrides."""
@@ -51,13 +80,20 @@ class RuntimeContext:
 
     @staticmethod
     def _detect_backends():
+        # parity: reference _runtime.py:57-81 — the variational solver is
+        # always available; optional deep-flow packages register by import
         backends = {"variational"}
-        for name, module in (("torch", "torch"),):
+        for name, module in (("torch", "torch"),
+                             ("raft-2p", "raft2p"),
+                             ("flownet2", "flownet2"),
+                             ("pwcnet", "pwcnet"),
+                             ("deepflow", "deepflow")):
             try:
                 __import__(module)
                 backends.add(name)
             except ImportError:
                 pass
+        backends.update(_FLOW_BACKENDS)
         return sorted(backends)
 
     @staticmethod

@@ -89,6 +89,20 @@ def test_multichannel_and_uvw_init(rng):
     epe_ws = evaluate_flow_accuracy(flow_ws, flow_gt, boundary=5)
     assert epe_ws < 0.4, f"EPE {epe_ws}"
 
+    # regression: the initialization must actually be HONORED (reference
+    # warps moving by the resized uvw at every level incl. the coarsest,
+    # core/optical_flow_3d.py:417-434) — with a starved solver the
+    # warm-started run must beat the cold one decisively
+    starved = dict(FLOW_PARAMS, iterations=1, levels=2)
+    cold = np.asarray(get_displacement(
+        vol2, displaced, weight=np.array([0.5, 0.5]), **starved))
+    warm = np.asarray(get_displacement(
+        vol2, displaced, weight=np.array([0.5, 0.5]),
+        uvw=jnp.asarray(flow_gt), **starved))
+    epe_cold = evaluate_flow_accuracy(cold, flow_gt, boundary=5)
+    epe_warm = evaluate_flow_accuracy(warm, flow_gt, boundary=5)
+    assert epe_warm < 0.5 * epe_cold, (epe_warm, epe_cold)
+
 
 def test_min_level_upsample(rng):
     vol = _cell_volume(rng, shape=(24, 40, 40))
