@@ -76,6 +76,8 @@ class BatchMotionCorrector:
         self.video_reader = None
         self.video_writer = None
         self.w_writer = None
+        self.valid_writer = None
+        self.valid_idx: List[bool] = []
 
         self.progress_callbacks: List[Callable[[int, Optional[int]], None]] = []
         self._progress: Dict[str, Tuple[int, Optional[int]]] = {}
@@ -128,6 +130,22 @@ class BatchMotionCorrector:
                               "Displacements will not be saved.")
                 self.w_writer = None
                 self.options.save_w = False
+        # valid-mask outputs (the reference accepts these fields but never
+        # consumes them, OF_options_3D.py:200-201; here they work): a voxel
+        # is valid when its warp sample stayed in bounds (not filled from
+        # the reference volume)
+        if getattr(self.options, "save_valid_mask", False) \
+                and self.options.output_format != OutputFormat.ARRAY:
+            try:
+                from flowreg3d_tpu.io.factory import get_video_file_writer
+
+                self.valid_writer = get_video_file_writer(
+                    str(output_path / "valid_mask.h5"), "HDF5")
+            except Exception as e:
+                warnings.warn(f"Failed to create valid-mask writer: {e}.")
+                self.valid_writer = None
+        else:
+            self.valid_writer = None
 
     def _setup_reference(self, reference_frame=None):
         if reference_frame is None:
@@ -219,6 +237,19 @@ class BatchMotionCorrector:
             self.config.get_displacement_func = fn  # instantiate once
             return fn
         return None
+
+    @staticmethod
+    def _valid_mask(w):
+        """(T,Z,Y,X) bool: warp sample coordinates stayed in bounds."""
+        T, Z, Y, X, _ = w.shape
+        gz = np.arange(Z).reshape(1, Z, 1, 1)
+        gy = np.arange(Y).reshape(1, 1, Y, 1)
+        gx = np.arange(X).reshape(1, 1, 1, X)
+        mx = gx + w[..., 0]
+        my = gy + w[..., 1]
+        mz = gz + w[..., 2]
+        return ((mx >= 0) & (mx < X) & (my >= 0) & (my < Y)
+                & (mz >= 0) & (mz < Z))
 
     def _compute_initial_w(self, batch, batch_proc):
         Z, Y, X = self.reference_proc.shape[:3]
@@ -360,6 +391,15 @@ class BatchMotionCorrector:
                 self.video_writer.write_frames(registered)
                 if self.options.save_w and self.w_writer is not None:
                     self.w_writer.write_frames(w)
+                if self.valid_writer is not None \
+                        or getattr(self.options, "save_valid_idx", False):
+                    mask = self._valid_mask(w)
+                    if self.valid_writer is not None:
+                        self.valid_writer.write_frames(
+                            mask[..., None].astype(np.uint8))
+                    if getattr(self.options, "save_valid_idx", False):
+                        self.valid_idx.extend(
+                            mask.all(axis=(1, 2, 3)).tolist())
 
                 if self.options.update_reference:
                     self._update_reference(batch_proc, w)
@@ -399,11 +439,15 @@ class BatchMotionCorrector:
                      mean_div=np.asarray(self.mean_div),
                      mean_translation=np.asarray(self.mean_translation))
             np.save(out / "reference_frame.npy", self.reference_raw)
+            if getattr(self.options, "save_valid_idx", False):
+                np.save(out / "valid_idx.npy",
+                        np.asarray(self.valid_idx, bool))
         except Exception as e:
             warnings.warn(f"Failed to save metadata: {e}")
 
     def _cleanup(self):
-        for closer in (self.video_writer, self.w_writer, self.video_reader):
+        for closer in (self.video_writer, self.w_writer, self.valid_writer,
+                       self.video_reader):
             if closer is not None:
                 try:
                     closer.close()

@@ -165,3 +165,32 @@ def test_checkpoint_resume_statistics_complete(tmp_path, video5d):
         assert res[key].shape == full[key].shape, key
         np.testing.assert_allclose(res[key], full[key], rtol=1e-4,
                                    atol=1e-5, err_msg=key)
+
+
+def test_save_valid_mask_and_idx(tmp_path, video5d):
+    """save_valid_mask/save_valid_idx actually produce outputs (the
+    reference carries these fields inertly, OF_options_3D.py:200-201)."""
+    from flowreg3d_tpu.io.factory import (get_video_file_reader,
+                                          get_video_file_writer)
+
+    src = tmp_path / "in.h5"
+    wtr = get_video_file_writer(str(src), "HDF5")
+    wtr.write_frames((video5d * 1000).astype(np.uint16))
+    wtr.close()
+
+    opts = fast_options(
+        input_file=str(src), output_path=tmp_path / "out",
+        output_format="HDF5", reference_frames=[0],
+        save_valid_mask=True, save_valid_idx=True)
+    compensate_recording(opts)
+
+    r = get_video_file_reader(str(tmp_path / "out" / "valid_mask.h5"))
+    mask = r[:]
+    r.close()
+    assert mask.shape[:4] == video5d.shape[:4]
+    assert mask.dtype == np.uint8
+    assert set(np.unique(mask)).issubset({0, 1})
+
+    idx = np.load(tmp_path / "out" / "valid_idx.npy")
+    assert idx.shape == (video5d.shape[0],)
+    assert idx.dtype == bool
