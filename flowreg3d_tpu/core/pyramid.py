@@ -30,6 +30,21 @@ from flowreg3d_tpu.ops.resize import resize_volume
 from flowreg3d_tpu.ops.warp import imregister_wrapper
 
 
+def _median(x, use_pallas):
+    """5^3 median: Pallas selection network on TPU (28x the XLA sort and
+    exact — the XLA path's conv-based patch extraction rounds taps to bf16
+    on TPU), XLA path on CPU / under vmap (use_pallas=False)."""
+    from flowreg3d_tpu.core.solver import pallas_enabled
+
+    if use_pallas is None:
+        use_pallas = pallas_enabled()
+    if use_pallas:
+        from flowreg3d_tpu.ops.median_pallas import median_filter_5x5x5_pallas
+
+        return median_filter_5x5x5_pallas(x)
+    return median_filter_5x5x5(x)
+
+
 def warping_depth(eta, levels, p, m, n):
     """Pyramid depth: shrink min-dim by eta until round(.) < 10 (ref :77-85)."""
     min_dim = min(p, m, n)
@@ -138,6 +153,7 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                     v[1:-1, 1:-1, 1:-1] / hy,
                     w[1:-1, 1:-1, 1:-1] / hz,
                     f1_level,
+                    use_pallas=use_pallas,
                 )
             else:
                 u = add_boundary(resize_volume(u[1:-1, 1:-1, 1:-1], size, dtype=dtype))
@@ -149,6 +165,7 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                     v[1:-1, 1:-1, 1:-1] / hy,
                     w[1:-1, 1:-1, 1:-1] / hz,
                     f1_level,
+                    use_pallas=use_pallas,
                 )
             if tmp.ndim == 3:
                 tmp = tmp[..., None]
@@ -172,11 +189,11 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
 
             if min(size) > 5:
                 du = du.at[1:-1, 1:-1, 1:-1].set(
-                    median_filter_5x5x5(du[1:-1, 1:-1, 1:-1]))
+                    _median(du[1:-1, 1:-1, 1:-1], use_pallas))
                 dv = dv.at[1:-1, 1:-1, 1:-1].set(
-                    median_filter_5x5x5(dv[1:-1, 1:-1, 1:-1]))
+                    _median(dv[1:-1, 1:-1, 1:-1], use_pallas))
                 dw = dw.at[1:-1, 1:-1, 1:-1].set(
-                    median_filter_5x5x5(dw[1:-1, 1:-1, 1:-1]))
+                    _median(dw[1:-1, 1:-1, 1:-1], use_pallas))
             u = u + du
             v = v + dv
             w = w + dw

@@ -188,6 +188,9 @@ def median_filter_5x5x5(x, slab=None):
             filter_shape=(5, 5, 5),
             window_strides=(1, 1, 1),
             padding="VALID",
+            # HIGHEST: TPU convs default to bf16 passes, silently rounding
+            # the extracted taps (~2e-3 median error)
+            precision=jax.lax.Precision.HIGHEST,
         )  # (1, 125, zs, Y, X)
         outs.append(jnp.median(patches[0], axis=0))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

@@ -209,11 +209,14 @@ def map_coordinates_linear(vol, coord_z, coord_y, coord_x):
     return out.reshape(out_shape).astype(vol.dtype)
 
 
-def imregister_wrapper(f2_level, u, v, w, f1_level, interpolation_method="cubic"):
+def imregister_wrapper(f2_level, u, v, w, f1_level,
+                       interpolation_method="cubic", use_pallas=None):
     """Backward-warp moving volume by (u,v,w); OOB voxels come from fixed.
 
     Parity: reference core/optical_flow_3d.py:22-74. Shapes (Z,Y,X) or
     (Z,Y,X,C); u/v/w are (Z,Y,X) displacements in x/y/z voxel units.
+    ``use_pallas=False`` forces the XLA sampling path (required under a
+    vmap batch dim, where the windowed Pallas kernel cannot lower).
     """
     f2 = jnp.asarray(f2_level)
     f1 = jnp.asarray(f1_level)
@@ -256,7 +259,7 @@ def imregister_wrapper(f2_level, u, v, w, f1_level, interpolation_method="cubic"
 
     from flowreg3d_tpu.ops import warp_pallas
 
-    if warp_pallas.windowed_ok((Z, Y, X), order):
+    if use_pallas is not False and warp_pallas.windowed_ok((Z, Y, X), order):
         def sample(vol, cz, cy, cx, _o=order):
             return warp_pallas.map_coordinates_windowed(vol, cz, cy, cx, _o)
 

@@ -57,11 +57,11 @@ def get_executor(name=None, **kwargs):
     return _EXECUTORS[name](**kwargs)
 
 
-def _warp_fn(interp):
+def _warp_fn(interp, use_pallas=None):
     def warp(frame_raw, flow, ref_raw):
         return imregister_wrapper(
             frame_raw, flow[..., 0], flow[..., 1], flow[..., 2], ref_raw,
-            interpolation_method=interp)
+            interpolation_method=interp, use_pallas=use_pallas)
     return warp
 
 
@@ -90,7 +90,9 @@ def _jit_flow_chunk(config_key):
 
 @lru_cache(maxsize=16)
 def _jit_warp_chunk(interp):
-    return jax.jit(jax.vmap(_warp_fn(interp), in_axes=(0, 0, None)))
+    # Pallas (windowed warp) doesn't lower under a vmap batch dim
+    return jax.jit(jax.vmap(_warp_fn(interp, use_pallas=False),
+                            in_axes=(0, 0, None)))
 
 
 def _config_key(reference_proc, flow_params, dtype=jnp.float32):

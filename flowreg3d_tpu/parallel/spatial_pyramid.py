@@ -487,7 +487,8 @@ def _median_sharded(x, axis_name, z_total):
     xp = jnp.pad(xe, ((0, 0), (2, 2), (2, 2)), mode="reflect")
     patches = jax.lax.conv_general_dilated_patches(
         xp[None, ..., None], (5, 5, 5), (1, 1, 1), "VALID",
-        dimension_numbers=("NZYXC", "ZYXIO", "NZYXC"))[0]
+        dimension_numbers=("NZYXC", "ZYXIO", "NZYXC"),
+        precision=jax.lax.Precision.HIGHEST)[0]
     return jnp.median(patches.reshape(patches.shape[:3] + (125,)), axis=-1)
 
 
