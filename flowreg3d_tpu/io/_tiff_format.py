@@ -36,6 +36,7 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR_CONFIG = 284
 TAG_ARTIST = 315           # ScanImage stores ROI-group JSON here
+TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
@@ -68,13 +69,91 @@ def _np_dtype(sample_format, bits, byteorder):
     return np.dtype(f"{byteorder}{kind}{bits // 8}")
 
 
+def _lzw_decode(data):
+    """TIFF-variant LZW (MSB-first bit packing, early code-width change).
+
+    Clear=256, EOI=257; code width grows at table sizes 511/1023/2047
+    (TIFF's off-by-one vs classic LZW). Reference behavior target:
+    util/io/tiff.py via tifffile's imagecodecs."""
+    out = bytearray()
+    table = None
+    prev = None
+    width = 9
+    buf = 0
+    nbits = 0
+    next_code = 258
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = {i: bytes((i,)) for i in range(256)}
+        width = 9
+        next_code = 258
+        prev = None
+
+    reset()
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            else:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code in (511, 1023, 2047):
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data):
+    """PackBits RLE (compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _undo_horizontal_predictor(raw, n_rows, width, samples, itemsize,
+                               byteorder):
+    """Predictor 2: cumulative sum along each row per sample channel."""
+    dt = np.dtype(f"{byteorder}u{itemsize}" if itemsize > 1 else "u1")
+    arr = np.frombuffer(raw, dt).reshape(n_rows, width, samples)
+    # cumulative sum with wraparound == undoing the difference predictor
+    arr = np.cumsum(arr, axis=1, dtype=np.uint64).astype(dt)
+    return arr.tobytes()
+
+
 class TiffPage:
     """Parsed IFD of one page."""
 
     __slots__ = ("width", "length", "bits", "samples", "compression",
                  "photometric", "sample_format", "rows_per_strip",
                  "strip_offsets", "strip_byte_counts", "description",
-                 "planar_config", "offset", "artist")
+                 "planar_config", "offset", "artist", "predictor")
 
     def __init__(self):
         self.width = 0
@@ -91,6 +170,7 @@ class TiffPage:
         self.planar_config = 1
         self.offset = 0
         self.artist = ""
+        self.predictor = 1
 
     @property
     def shape(self):
@@ -225,6 +305,8 @@ class TiffReader:
             page.planar_config = int(vals[0])
         elif tag == TAG_SAMPLE_FORMAT:
             page.sample_format = int(vals[0])
+        elif tag == TAG_PREDICTOR:
+            page.predictor = int(vals[0])
 
     # -- data access --------------------------------------------------------
 
@@ -246,15 +328,38 @@ class TiffReader:
             data = self._read(base + index * page.nbytes(), page.nbytes())
         else:
             page = self.pages[index]
-            if page.compression != 1:
+            if page.compression not in (1, 5, 8, 32773, 32946):
                 raise NotImplementedError(
                     f"TIFF compression {page.compression} not supported "
-                    "(this codec reads uncompressed TIFF only)")
+                    "(supported: none, LZW, deflate, PackBits)")
             if page.planar_config != 1:
                 raise NotImplementedError("planar TIFF not supported")
-            data = b"".join(
-                self._read(off, cnt)
-                for off, cnt in zip(page.strip_offsets, page.strip_byte_counts))
+            rows_per_strip = min(page.rows_per_strip, page.length)
+            row_bytes = page.width * page.samples * (page.bits // 8)
+            chunks = []
+            for k, (off, cnt) in enumerate(
+                    zip(page.strip_offsets, page.strip_byte_counts)):
+                raw = self._read(off, cnt)
+                if page.compression == 1:
+                    chunks.append(raw)
+                    continue
+                n_rows = min(rows_per_strip,
+                             page.length - k * rows_per_strip)
+                if page.compression == 5:
+                    raw = _lzw_decode(raw)
+                elif page.compression in (8, 32946):
+                    import zlib
+
+                    raw = zlib.decompress(raw)
+                elif page.compression == 32773:
+                    raw = _packbits_decode(raw)
+                raw = raw[:n_rows * row_bytes]
+                if page.predictor == 2:
+                    raw = _undo_horizontal_predictor(
+                        raw, n_rows, page.width, page.samples,
+                        page.bits // 8, self.byteorder)
+                chunks.append(raw)
+            data = b"".join(chunks)
         dt = _np_dtype(page.sample_format, page.bits, self.byteorder)
         arr = np.frombuffer(data, dtype=dt, count=page.nbytes() // dt.itemsize)
         return arr.reshape(page.shape).astype(dt.newbyteorder("=")) \
