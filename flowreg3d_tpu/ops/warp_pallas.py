@@ -7,23 +7,28 @@ reference core/optical_flow_3d.py:22-74).
 
 Why a kernel: the XLA formulation is bound by the gather unit at ~15-19 ns
 per *index row* — 16.7M rows (one per output voxel) ≈ 300 ms at 512x512x64.
-Motion-correction flows are smooth, so all samples of a group of 8 output
-x-lines (one z, eight consecutive y) live inside a small (Dz, Dy) band of
-(z, y) source rows. This kernel exploits that:
+Motion-correction flows are smooth-ish, so the samples of a group of 8
+output x-lines live inside a (Dzg, Dyg) band of (z, y) source rows, and
+each single line's samples inside a smaller (Dzl, Dyl) sub-band. The
+kernel exploits both:
 
-- a 1-D grid over 8-line groups; per group one strided DMA fetches the
-  coefficient window ``c[wz:wz+Dz, wy:wy+Dy, :]`` into VMEM (window origins
-  are data-dependent -> scalar-prefetched, double-buffered across programs);
-- the per-voxel x-tap gather is reformulated as one MXU matmul per line
-  against a one-hot-times-weight matrix ``At[x_src, x_out]`` (taps fused
-  with their interpolation weights), turning the gather into dense FLOPs;
-- the (z, y) tap selection factorizes into two masked weight matrices
-  ``WZt``/``WYt`` applied as VPU multiply-reduce over the window rows.
+- a 1-D grid over 8-line groups; per group ONE strided DMA fetches the
+  hi/lo-bf16-split coefficient window (split precomputed in XLA so kernel
+  slices carry no casts); window origins are data-dependent ->
+  scalar-prefetched, double-buffered across programs;
+- per line, a (Dzl, Dyl) sub-window is sliced from the group window at
+  prefetched 8-aligned offsets — the matmul contracts only the rows that
+  line can actually touch;
+- the per-voxel x-tap gather is reformulated as MXU matmuls against
+  one-hot-times-weight matrices (manual bf16x3, lo*lo dropped, ~1e-5);
+  x contracts against a WSUB-wide 128-aligned subwindow per SUB outputs;
+- the (z, y) tap selection factorizes into masked weight matrices applied
+  as VPU multiply-reduce.
 
-A cheap XLA pre-pass computes window origins and a validity flag (does every
-group's sample band fit its window?); ``lax.cond`` falls back to the exact
-row-gather path for pathological flows, so semantics never depend on the
-smoothness assumption.
+A cheap XLA pre-pass computes window origins and a validity flag (does
+every group's AND line's sample band fit its windows?); ``lax.cond``
+tiers through three geometries and finally the exact row-gather path, so
+semantics never depend on flow smoothness.
 """
 
 import functools
@@ -36,19 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 
 _LPG = 8   # output x-lines per grid program (one z, 8 consecutive y)
-# window geometries (Dz, Dy): Dz covers the per-group z-base range plus
-# n_taps, Dy the 8 output rows + y-base deviation + 8-aligned origin slack.
-# The small geometry fits smooth flows cheaply (the matmul cost scales with
-# Dz*Dy); the large one covers rough flows (e.g. weakly-regularized solver
-# output, alpha~0.25) at ~4x the MXU work — still far cheaper than the
-# row-gather fallback.
-_GEOMS = ((8, 24), (20, 40))
+# geometries (Dzg, Dyg, Dzl, Dyl): group DMA window (Dzg, Dyg) and the
+# per-line compute sub-window (Dzl, Dyl). Dz* cover the z-base span plus
+# n_taps; Dy* the output rows + y-base deviation + 8-aligned origin slack.
+# Matmul cost scales with Dzl*Dyl, so rough flows (e.g. weakly-regularized
+# solver output, alpha~0.25: group z-spans ~20, per-line ~15) pay for their
+# line spans, not the group envelope.
+_GEOMS = (
+    (8, 24, 8, 24),
+    (20, 40, 16, 24),
+    (28, 48, 24, 32),
+)
 # x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
 # 128-aligned window instead of the full row. Worst-case slack for flow
 # deviation is WSUB - SUB - n_taps - 127 (alignment) ~= 125 voxels.
 _SUB = 128
 _WSUB = 384
-# VMEM guard: At is (Xp, Xb) f32 per line
+# VMEM guard: At is (Xp, S) f32 per line-sub; group window is bf16 hi+lo
 _MAX_X = 1280
 
 
@@ -59,19 +68,20 @@ def _w_taps(f, order):
     return (1.0 - f, f)
 
 
-def _kernel(L8, Dz, Dy, n_taps, order, nsub, win_ref, cext_ref, lz_ref,
-            ly_ref, x0_ref, fz_ref, fy_ref, fx_ref, out_ref, fwin, sem):
+def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
+            lz_ref, ly_ref, x0_ref, fz_ref, fy_ref, fx_ref, out_ref, fwin,
+            sem):
     g = pl.program_id(0)
-    Xp = cext_ref.shape[2]
+    Xp = cext_ref.shape[3]
     Xb = out_ref.shape[2]
 
     def get_dma(slot, grp):
         wz = win_ref[0, grp]
-        # wy is stored divided by 8 so Mosaic can prove the sublane-tile
-        # alignment of the dynamic offset
+        # 8-aligned offsets are stored divided by 8 so Mosaic can prove
+        # the sublane-tile alignment
         wy = win_ref[1, grp] * 8
         return pltpu.make_async_copy(
-            cext_ref.at[pl.ds(wz, Dz), pl.ds(wy, Dy)], fwin.at[slot],
+            cext_ref.at[:, pl.ds(wz, Dzg), pl.ds(wy, Dyg)], fwin.at[slot],
             sem.at[slot])
 
     @pl.when(g == 0)
@@ -104,20 +114,29 @@ def _kernel(L8, Dz, Dy, n_taps, order, nsub, win_ref, cext_ref, lz_ref,
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
-    for s in range(nsub):
-        if nsub == 1:
-            W = Xp
-            c0, S = 0, Xb
-            F2 = fwin[g % 2].reshape(Dz * Dy, Xp)
-            xoff = 0
-        else:
-            W, S = _WSUB, _SUB
-            c0 = s * S
-            wx = win_ref[2 + s, g] * 128
-            F2 = fwin[g % 2, :, :, pl.ds(wx, W)].reshape(Dz * Dy, W)
-            xoff = wx
-        F2h, F2l = split(F2)
-        for i in range(_LPG):
+    slot = g % 2
+    for i in range(_LPG):
+        dzo = win_ref[2 + nsub + i, g]
+        dyo = win_ref[2 + nsub + _LPG + i, g] * 8
+        for s in range(nsub):
+            if nsub == 1:
+                W = Xp
+                c0, S = 0, Xb
+                xoff = 0
+                Fh = fwin[slot, 0, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl)]
+                Fl = fwin[slot, 1, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl)]
+            else:
+                W, S = _WSUB, _SUB
+                c0 = s * S
+                wx = win_ref[2 + s, g] * 128
+                xoff = wx
+                Fh = fwin[slot, 0, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl),
+                          pl.ds(wx, W)]
+                Fl = fwin[slot, 1, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl),
+                          pl.ds(wx, W)]
+            Fh = Fh.reshape(Dzl * Dyl, W)
+            Fl = Fl.reshape(Dzl * Dyl, W)
+
             x0 = x0_ref[0, i, c0:c0 + S].reshape(1, S) - xoff
             lz = lz_ref[0, i, c0:c0 + S].reshape(1, S)
             ly = ly_ref[0, i, c0:c0 + S].reshape(1, S)
@@ -126,13 +145,13 @@ def _kernel(L8, Dz, Dy, n_taps, order, nsub, win_ref, cext_ref, lz_ref,
             wzs = _w_taps(fz_ref[0, i, c0:c0 + S].reshape(1, S), order)
 
             At = wmat(W, S, x0, wxs)      # x-taps one-hot * weight
-            WYt = wmat(Dy, S, ly, wys)
-            WZt = wmat(Dz, S, lz, wzs)
+            WYt = wmat(Dyl, S, ly, wys)
+            WZt = wmat(Dzl, S, lz, wzs)
 
             Ath, Atl = split(At)
-            G = bdot(F2h, Ath) + bdot(F2h, Atl) + bdot(F2l, Ath)
-            G = G.reshape(Dz, Dy, S)
-            t1 = (G * WYt[None, :, :]).sum(axis=1)       # (Dz, S)
+            G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+            G = G.reshape(Dzl, Dyl, S)
+            t1 = (G * WYt[None, :, :]).sum(axis=1)       # (Dzl, S)
             out = (t1 * WZt).sum(axis=0)                 # (S,)
             out_ref[0, i, c0:c0 + S] = out
 
@@ -156,15 +175,30 @@ def _windows_1d(i0g, n_taps, D, ext_size, align):
     return w, valid
 
 
+def _line_windows(i0l, n_taps, Dg, Dl, wg, align):
+    """Per-line sub-window origins inside the group window + validity.
+
+    i0l: (L8, LPG, X) int32 first-tap indices. Returns (o, valid) of
+    shapes (L8, LPG): absolute origin (clipped into [wg, wg + Dg - Dl],
+    ``align``-aligned) and whether the line's span fits [o, o + Dl).
+    """
+    lo = i0l.min(axis=-1)
+    hi = i0l.max(axis=-1)
+    o = lo if align == 1 else (lo // align) * align
+    o = jnp.clip(o, wg[:, None], wg[:, None] + (Dg - Dl))
+    valid = (hi + n_taps - 1 - o) <= (Dl - 1)
+    return o, valid
+
+
 def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
                              interpret=False):
     """Sample ``vol`` (Z,Y,X) at clipped coordinate grids, order 3 or 1.
 
     Same semantics as ``map_coordinates_cubic``/``_linear`` (scipy
-    order-3/1, mode='nearest' for in-range coordinates). Uses the Pallas
-    line-window kernel when every 8-line group's sample band fits its
-    window; falls back to the row-gather path otherwise via ``lax.cond``.
-    Requires Y % 8 == 0 (gate via ``windowed_ok``).
+    order-3/1, mode='nearest' for in-range coordinates). Tiers through
+    the Pallas window geometries (cheapest that fits the flow's sample
+    bands), then the row-gather path. Requires Y % 8 == 0 (gate via
+    ``windowed_ok``).
     """
     from flowreg3d_tpu.ops import warp as _warp
 
@@ -182,6 +216,15 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
     Xp = _ceil_to(Xe, 128)
     Xb = _ceil_to(X, 128)
     cext = jnp.pad(c, ((0, 0), (0, Yp - Ye), (0, Xp - Xe)))
+    # hi/lo bf16 split hoisted to XLA: kernel window slices carry no casts.
+    # reduce_precision (not a convert pair) is immune to XLA's
+    # --xla_allow_excess_precision rewrite, which would elide
+    # f32(bf16(x)) and silently zero the lo correction term.
+    hi_f32 = jax.lax.reduce_precision(cext, exponent_bits=8,
+                                      mantissa_bits=7)
+    c_hi = hi_f32.astype(jnp.bfloat16)
+    c_lo = (cext - hi_f32).astype(jnp.bfloat16)
+    cext2 = jnp.stack([c_hi, c_lo])          # (2, Ze, Yp, Xp)
 
     z0 = jnp.floor(coord_z)
     y0 = jnp.floor(coord_y)
@@ -200,6 +243,8 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
     L8 = (Z * Y) // _LPG
     zg = z0.reshape(L8, _LPG * X)
     yg = y0.reshape(L8, _LPG * X)
+    zl = z0.reshape(L8, _LPG, X)
+    yl = y0.reshape(L8, _LPG, X)
 
     # x-subwindows: each _SUB output chunk contracts against a _WSUB-wide
     # 128-aligned slice of the row instead of all Xp lanes
@@ -223,23 +268,30 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
 
     geoms = []
     seen = set()
-    for gz, gy in _GEOMS:
-        geom = (min(gz, Ze), min(gy, Yp))
+    for gz, gy, lz_, ly_ in _GEOMS:
+        geom = (min(gz, Ze), min(gy, Yp), min(lz_, min(gz, Ze)),
+                min(ly_, min(gy, Yp)))
         if geom not in seen:
             seen.add(geom)
             geoms.append(geom)
 
-    def make_pallas_branch(Dz, Dy):
-        wz, vz = _windows_1d(zg, n_taps, Dz, Ze, 1)
-        wy, vy = _windows_1d(yg, n_taps, Dy, Yp, 8)
-        valid = jnp.all(vz & vy) & vx_all
-        lz = padb(zg - wz[:, None])
-        ly = padb(yg - wy[:, None])
-        win = jnp.stack([wz, wy // 8] + wx_rows).astype(jnp.int32)
+    def make_pallas_branch(Dzg, Dyg, Dzl, Dyl):
+        wz, vzg = _windows_1d(zg, n_taps, Dzg, Ze, 1)
+        wy, vyg = _windows_1d(yg, n_taps, Dyg, Yp, 8)
+        oz, vzl = _line_windows(zl, n_taps, Dzg, Dzl, wz, 1)
+        oy, vyl = _line_windows(yl, n_taps, Dyg, Dyl, wy, 8)
+        valid = (jnp.all(vzg & vyg) & jnp.all(vzl & vyl) & vx_all)
+        lz = padb(z0.reshape(L8, _LPG, X) - oz[:, :, None])
+        ly = padb(y0.reshape(L8, _LPG, X) - oy[:, :, None])
+        win = jnp.stack(
+            [wz, wy // 8] + wx_rows
+            + [(oz - wz[:, None])[:, i] for i in range(_LPG)]
+            + [((oy - wy[:, None]) // 8)[:, i] for i in range(_LPG)]
+        ).astype(jnp.int32)
 
         def branch():
-            kern = functools.partial(_kernel, L8, Dz, Dy, n_taps, order,
-                                     nsub)
+            kern = functools.partial(_kernel, L8, Dzg, Dyg, Dzl, Dyl,
+                                     n_taps, order, nsub)
             line_spec = pl.BlockSpec((1, _LPG, Xb),
                                      lambda g, *_: (g, 0, 0))
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -249,7 +301,7 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
                 + [line_spec] * 6,
                 out_specs=line_spec,
                 scratch_shapes=[
-                    pltpu.VMEM((2, Dz, Dy, Xp), jnp.float32),
+                    pltpu.VMEM((2, 2, Dzg, Dyg, Xp), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             )
@@ -258,21 +310,20 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((L8, _LPG, Xb), jnp.float32),
                 interpret=interpret,
-            )(win, cext, lz, ly, padb(x0), padb(fz), padb(fy), padb(fx))
+            )(win, cext2, lz, ly, padb(x0), padb(fz), padb(fy), padb(fx))
             return out[:, :, :X].reshape(Z, Y, X)
 
         return valid, branch
 
     def fallback_branch():
-        cf = cext[:Ze, :Ye, :Xe]
         fzf, fyf, fxf = (a.reshape(-1) for a in (fz, fy, fx))
         lin = ((z0 * Y + y0) * X + x0).reshape(-1)
         if order == 3:
-            taps = _warp._stacked_taps(cf, (4, 4, 4), (Z, Y, X))
+            taps = _warp._stacked_taps(c, (4, 4, 4), (Z, Y, X))
             wfn = (_warp._w4, _warp._w4, _warp._w4)
             counts = (4, 4, 4)
         else:
-            taps = _warp._stacked_taps(cf, (2, 2, 2), (Z, Y, X))
+            taps = _warp._stacked_taps(c, (2, 2, 2), (Z, Y, X))
             wfn = (_warp._w2, _warp._w2, _warp._w2)
             counts = (2, 2, 2)
         out = _warp._row_gather_interp(taps, lin, (fzf, fyf, fxf), wfn,
@@ -281,10 +332,9 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
 
     # tiered dispatch: cheapest window geometry that fits, else row-gather
     out_fn = fallback_branch
-    for Dz, Dy in reversed(geoms):
-        valid, branch = make_pallas_branch(Dz, Dy)
-        out_fn = functools.partial(
-            jax.lax.cond, valid, branch, out_fn)
+    for Dzg, Dyg, Dzl, Dyl in reversed(geoms):
+        valid, branch = make_pallas_branch(Dzg, Dyg, Dzl, Dyl)
+        out_fn = functools.partial(jax.lax.cond, valid, branch, out_fn)
     out = out_fn()
     return out.reshape(out_shape).astype(vol.dtype)
 

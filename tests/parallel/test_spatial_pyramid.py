@@ -15,8 +15,10 @@ from flowreg3d_tpu.core.pyramid import get_displacement
 from flowreg3d_tpu.parallel.spatial import spatial_mesh
 from flowreg3d_tpu.parallel.spatial_pyramid import get_displacement_sharded
 
+# levels=2 keeps the shard_map compile ~5 min (each level adds ring-matmul
+# loops; levels=3 compiles ~15 min on the CPU backend)
 PARAMS = dict(alpha=(1.5, 1.5, 1.5), update_lag=3, iterations=6,
-              min_level=0, levels=3, eta=0.8, a_data=0.45,
+              min_level=0, levels=2, eta=0.8, a_data=0.45,
               const_assumption="gc")
 SHAPE = (42, 24, 24)   # 42 over 4 devices: pz=11, 2 rows of shard padding
 N_DEV = 4
