@@ -534,6 +534,95 @@ class MeshExecutor3D(BatchedExecutor3D):
         return info
 
 
+class SpatialExecutor3D(BaseExecutor3D):
+    """Frames processed one at a time, each Z-SHARDED across the mesh.
+
+    For volumes whose single-frame working set exceeds one chip's HBM:
+    the whole pyramid runs under ``get_displacement_sharded``
+    (parallel/spatial_pyramid.py — ring-matmul resizes, halo-exchange
+    solver, halo-bounded warp). Falls back per frame to the exact
+    single-device path when the flow exceeds the warp's z halo (the
+    kernel's validity flag). Scope: a_smooth == 1 configs.
+    """
+
+    name = "spatial"
+
+    def __init__(self, n_workers=None, devices=None, halo_w=None, **kwargs):
+        super().__init__(n_workers=n_workers, **kwargs)
+        from flowreg3d_tpu.parallel.spatial import spatial_mesh
+
+        self.mesh = spatial_mesh(devices)
+        self.halo_w = halo_w
+
+    _SOLVER_KEYS = ("alpha", "update_lag", "iterations", "min_level",
+                    "levels", "eta", "a_data", "const_assumption")
+
+    def _run(self, batch, batch_proc, ref_raw, ref_proc, uvw, weight_vol,
+             key, interp, progress_callback, extra_flow=None):
+        from flowreg3d_tpu.parallel.spatial_pyramid import (
+            get_displacement_sharded)
+
+        # static solver config back from the pyramid key
+        (shape, n_channels, alpha, update_lag, iterations, min_level,
+         levels, eta, a_smooth, a_data, const_assumption, dtype_name,
+         _pl) = key
+        if float(a_smooth) != 1.0:
+            raise NotImplementedError(
+                "spatial executor supports a_smooth == 1 (the sharded "
+                "solver's scope)")
+        kw = dict(alpha=alpha, update_lag=update_lag,
+                  iterations=iterations, min_level=min_level,
+                  levels=levels, eta=eta, a_data=np.asarray(a_data),
+                  const_assumption=const_assumption)
+        if self.halo_w:
+            kw["halo_w"] = self.halo_w
+        if weight_vol.ndim == 4:
+            flat = weight_vol.reshape(-1, weight_vol.shape[-1])
+            if not np.allclose(flat, flat[0]):
+                raise NotImplementedError(
+                    "spatial executor supports per-channel (not spatially "
+                    "varying) weights")
+            wvec = flat[0]
+        else:
+            wvec = None
+
+        warp_fn = _jit_warp_single(interp)
+        T = batch.shape[0]
+        regs, flows = [], []
+        ref_raw_d = jnp.asarray(ref_raw, self.dtype)
+        ref_proc_d = jnp.asarray(ref_proc, self.dtype)
+        for t in range(T):
+            flow, valid = get_displacement_sharded(
+                ref_proc_d, jnp.asarray(batch_proc[t], self.dtype),
+                mesh=self.mesh, uvw=jnp.asarray(uvw[t]), weight=wvec, **kw)
+            flow = jnp.asarray(flow)
+            if not bool(valid):
+                flow_fn = _jit_flow_single(key)
+                flow = flow_fn(ref_proc_d,
+                               jnp.asarray(batch_proc[t], self.dtype),
+                               jnp.asarray(uvw[t]),
+                               jnp.asarray(weight_vol, self.dtype))
+            reg = warp_fn(jnp.asarray(batch[t], self.dtype), flow,
+                          ref_raw_d)
+            regs.append(np.asarray(reg))
+            flows.append(np.asarray(flow, np.float32))
+            if progress_callback:
+                progress_callback(1)
+        registered = np.stack(regs)
+        flows = np.stack(flows)
+        if extra_flow is not None:
+            return self._finalize_cc(batch, flows, extra_flow, ref_raw,
+                                     interp)
+        return registered, flows
+
+    def get_info(self):
+        info = super().get_info()
+        info.update({"mesh": tuple(self.mesh.shape.values()),
+                     "sharding": "z-spatial"})
+        return info
+
+
 SequentialExecutor3D.register()
 BatchedExecutor3D.register()
 MeshExecutor3D.register()
+SpatialExecutor3D.register()

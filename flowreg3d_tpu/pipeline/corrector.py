@@ -36,8 +36,10 @@ class RegistrationConfig:
     """Execution knobs (parity: reference compensate_recording_3D.py:20-28).
 
     ``parallelization``: None = auto (mesh if >1 device else batched), or
-    'sequential' / 'batched' / 'mesh' (reference names 'sequential3d',
-    'threading3d', 'multiprocessing3d' are accepted aliases).
+    'sequential' / 'batched' / 'mesh' / 'spatial' (Z-sharded single
+    frames for volumes beyond one chip's HBM; reference names
+    'sequential3d', 'threading3d', 'multiprocessing3d' are accepted
+    aliases).
     """
 
     n_jobs: int = -1

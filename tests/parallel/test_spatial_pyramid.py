@@ -65,3 +65,29 @@ def test_sharded_pyramid_halo_violation_flagged():
     flow, valid = get_displacement_sharded(
         fixed, moving, mesh=mesh, uvw=big_w, **PARAMS)
     assert not bool(valid)
+
+
+def test_spatial_executor_end_to_end():
+    """The 'spatial' executor registers frames with the Z-sharded pyramid
+    through the standard pipeline surface (tiny config: shared compile)."""
+    from flowreg3d_tpu.pipeline import compensate_arr_3D
+    from flowreg3d_tpu.pipeline.corrector import RegistrationConfig
+    from flowreg3d_tpu.parallel.executors import get_executor
+
+    ex = get_executor("spatial", devices=jax.devices()[:2])
+    assert ex.get_info()["sharding"] == "z-spatial"
+
+    fixed, moving = _pair((16, 16, 16))
+    from flowreg3d_tpu.pipeline import OFOptions
+
+    opts = OFOptions(quality_setting="fast", levels=1, iterations=2,
+                     update_lag=2, alpha=(1.5, 1.5, 1.5),
+                     sigma=[[0.3, 0.3, 0.3, 0.1]], a_smooth=1.0)
+    reg, flow = compensate_arr_3D(
+        moving[None, ..., None], fixed[..., None], options=opts,
+        config=RegistrationConfig(parallelization="spatial", prefetch=0,
+                                  async_write=False))
+    assert np.isfinite(reg).all() and np.isfinite(flow).all()
+    inner = (0, slice(2, -2), slice(2, -2), slice(2, -2), 0)
+    assert (np.abs(reg - fixed[None, ..., None])[inner].mean()
+            < np.abs(moving - fixed)[2:-2, 2:-2, 2:-2].mean())
