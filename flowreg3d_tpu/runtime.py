@@ -98,9 +98,20 @@ class RuntimeContext:
 
     @staticmethod
     def _detect_parallelization():
+        # registry executors plus the reference's optional distributed
+        # schedulers when importable (parity: reference _runtime.py:102-114
+        # detects dask/ray; on TPU they would only orchestrate host-side
+        # I/O around the mesh executors)
         from flowreg3d_tpu.parallel.executors import list_executors
 
-        return list(list_executors())
+        modes = list(list_executors())
+        for name in ("dask", "ray"):
+            try:
+                __import__(name)
+                modes.append(name)
+            except ImportError:
+                pass
+        return modes
 
     @staticmethod
     def _detect_features():
