@@ -23,6 +23,16 @@ from pathlib import Path
 
 import numpy as np
 
+from flowreg3d_tpu.util.compile_cache import (
+    enable_compile_cache,
+    start_claim_warmup,
+)
+
+# Persistent compilation cache: a warmed .jax_cache/ ships with the repo so
+# driver runs skip the minutes of remote kernel compiles (round-2 BENCH
+# timed out on exactly this). Must be configured before any compilation.
+enable_compile_cache()
+
 FLOW_PARAMS = dict(alpha=(0.25, 0.25, 0.25), update_lag=5, iterations=100,
                    min_level=5, levels=50, eta=0.8, a_smooth=1.0,
                    a_data=0.45, const_assumption="gc")
@@ -48,19 +58,27 @@ def _make_pair(shape):
 
 def _build_step(device):
     """Two compiled programs (flow, warp) — split so their peak HBM is not
-    summed in one program (the wide-tap warp operand is ~12G at this size)."""
+    summed in one program (the wide-tap warp operand is ~12G at this size).
+
+    Compiled ahead-of-time (lower().compile()) so compilation — which does
+    NOT need the device claim — overlaps with claim acquisition running on
+    the warm-up thread.
+    """
     import jax
 
     from flowreg3d_tpu.core.pyramid import build_pyramid_raw, pyramid_config_key
     from flowreg3d_tpu.ops.warp import imregister_wrapper
 
     key = pyramid_config_key(SHAPE, 1, **FLOW_PARAMS)
-    pyramid = jax.jit(build_pyramid_raw(*key), device=device)
+    vol = jax.ShapeDtypeStruct(SHAPE + (1,), np.float32)
+    flo = jax.ShapeDtypeStruct(SHAPE + (3,), np.float32)
+    pyramid = jax.jit(build_pyramid_raw(*key), device=device).lower(
+        vol, vol, flo, vol).compile()
     warp = jax.jit(
         lambda moving, flow, fixed: imregister_wrapper(
             moving, flow[..., 0], flow[..., 1], flow[..., 2], fixed,
             interpolation_method="cubic"),
-        device=device)
+        device=device).lower(vol, flo, vol).compile()
 
     def step(fixed, moving, uvw, weight):
         flow = pyramid(fixed, moving, uvw, weight)
@@ -70,11 +88,24 @@ def _build_step(device):
     return step
 
 
-def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE):
+def _log(msg, _t0=[None]):
+    if _t0[0] is None:
+        _t0[0] = time.perf_counter()
+    print(f"[bench {time.perf_counter() - _t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE,
+             claim_thread=None):
     import jax
     import jax.numpy as jnp
 
+    _log(f"building step on {device}")
     step = _build_step(device)
+    _log("programs compiled (AOT)")
+    if claim_thread is not None:
+        claim_thread.join()
+        _log("device claim acquired")
     fx = jax.device_put(fixed[..., None], device)
     mv = jax.device_put(moving[..., None], device)
     uvw = jax.device_put(np.zeros(SHAPE + (3,), np.float32), device)
@@ -88,10 +119,12 @@ def _measure(device, fixed, moving, n_warm=N_WARM, n_measure=N_MEASURE):
 
     for _ in range(n_warm):
         _, out = run_sync()
+    _log("warm-up iterations done")
     t0 = time.perf_counter()
     for _ in range(n_measure):
         _, out = run_sync()
     dt = (time.perf_counter() - t0) / n_measure
+    _log(f"measured {n_measure} iterations at {dt:.3f}s each")
     return 1.0 / dt, out
 
 
@@ -142,7 +175,11 @@ def main():
     if accel is None:
         accel = jax.devices()[0]
 
-    rate, out = _measure(accel, fixed, moving)
+    # device-claim acquisition (45-300+ s through the remote runtime)
+    # overlaps with AOT compilation inside _measure/_build_step
+    claim = start_claim_warmup(accel)
+
+    rate, out = _measure(accel, fixed, moving, claim_thread=claim)
     reg = np.asarray(out[0])
     assert np.all(np.isfinite(reg)), "non-finite output"
 

@@ -369,6 +369,67 @@ class TiffReader:
         """All pages stacked: (N, H, W[, S])."""
         return np.stack([self.page_array(i) for i in range(self.n_pages)])
 
+    def memmap_pages(self):
+        """Zero-copy (N, H, W[, S]) view over the file, or None.
+
+        The layout analogue of the reference's ``asarray(out="memmap")``
+        (reference util/io/tiff.py:41-55, :444-445): eligible when every
+        page is uncompressed with contiguous strip runs, pages share
+        shape/dtype, and consecutive pages sit at a constant byte stride
+        (which covers back-to-back writers and ImageJ's contiguous
+        "fake big TIFF" layout). RSS stays bounded: the OS pages data in
+        per access instead of the whole file materializing.
+        """
+        if not self.pages:
+            return None
+        p0 = self.pages[0]
+        dt = _np_dtype(p0.sample_format, p0.bits, self.byteorder)
+        page_bytes = p0.nbytes()
+
+        if self._virtual_pages:
+            n = self._virtual_pages
+            base = p0.strip_offsets[0]
+            stride = page_bytes
+        else:
+            offs = []
+            for p in self.pages:
+                if (p.compression != 1 or p.planar_config != 1
+                        or p.shape != p0.shape or p.bits != p0.bits
+                        or p.sample_format != p0.sample_format
+                        or not p.strip_offsets):
+                    return None
+                run = p.strip_offsets[0]
+                for o, c in zip(p.strip_offsets, p.strip_byte_counts):
+                    if o != run:
+                        return None
+                    run = o + c
+                if run - p.strip_offsets[0] != page_bytes:
+                    return None
+                offs.append(p.strip_offsets[0])
+            n = len(offs)
+            base = offs[0]
+            stride = page_bytes if n == 1 else offs[1] - offs[0]
+            if stride < page_bytes or stride % dt.itemsize:
+                return None
+            if any(offs[i + 1] - offs[i] != stride for i in range(n - 1)):
+                return None
+        if base % dt.itemsize:
+            return None
+
+        mm = np.memmap(self.path, dtype=dt, mode="r",
+                       offset=base, shape=(stride // dt.itemsize * (n - 1)
+                                           + page_bytes // dt.itemsize,))
+        from numpy.lib.stride_tricks import as_strided
+
+        page_strides = []
+        acc = dt.itemsize
+        for dim in reversed(p0.shape):
+            page_strides.append(acc)
+            acc *= dim
+        page_strides = tuple(reversed(page_strides))
+        return as_strided(mm, shape=(n,) + p0.shape,
+                          strides=(stride,) + page_strides, writeable=False)
+
     def close(self):
         if self._fh:
             self._fh.close()

@@ -88,6 +88,65 @@ def parse_roi_groups(artist_text):
     return {"rois": rois, "n_rois": len(rois), "raw": groups}
 
 
+def extract_from_description(description):
+    """Regex recovery of ScanImage fields from free-form description text.
+
+    Parity: reference util/io/_scanimage.py:222-290
+    (``_extract_from_description``) — older ScanImage builds store
+    metadata as MATLAB-evaluable strings rather than the structured
+    key-value header, and fields may be embedded mid-line (semicolon
+    separated, wrapped in other text). Pattern-matches channels /
+    slices / volumes / frames_per_slice / z_step / frame_rate and
+    returns the recovered dict ({} when nothing matches).
+    """
+    patterns = {
+        "channels": [
+            (r"SI\.hChannels\.channelSave\s*=\s*\[([\d\s,;]+)\]", "list"),
+            (r"SI\.hChannels\.channelsActive\s*=\s*(\d+)", "int"),
+        ],
+        "slices_per_volume": [
+            (r"SI\.hStackManager\.numSlices\s*=\s*(\d+)", "int"),
+            (r"SI\.hFastZ\.numFramesPerVolume\s*=\s*(\d+)", "int"),
+        ],
+        "num_volumes": [
+            (r"SI\.hFastZ\.numVolumes\s*=\s*(\d+)", "int"),
+            (r"SI\.hStackManager\.numVolumes\s*=\s*(\d+)", "int"),
+        ],
+        "frames_per_slice": [
+            (r"SI\.hStackManager\.framesPerSlice\s*=\s*(\d+)", "int"),
+        ],
+        "z_step": [
+            (r"SI\.hStackManager\.stackZStepSize\s*=\s*([\d.]+)", "float"),
+            (r"SI\.hFastZ\.positionAbsolute\s*=\s*\[([\d.\s,;]+)\]", "zlist"),
+        ],
+        "frame_rate": [
+            (r"SI\.hRoiManager\.scanFrameRate\s*=\s*([\d.]+)", "float"),
+        ],
+    }
+    out = {}
+    for key, pattern_list in patterns.items():
+        for pattern, kind in pattern_list:
+            m = re.search(pattern, description)
+            if not m:
+                continue
+            text = m.group(1)
+            if kind == "list":
+                vals = text.replace(",", " ").replace(";", " ").split()
+                out[key] = len(vals)
+            elif kind == "zlist":
+                zs = [float(x) for x in
+                      text.replace(",", " ").replace(";", " ").split()]
+                if len(zs) > 1:
+                    out[key] = abs(zs[1] - zs[0])
+            elif kind == "int":
+                out[key] = int(text)
+            else:
+                out[key] = float(text)
+            if key in out:
+                break
+    return out
+
+
 def parse_scanimage_metadata(source):
     """Structured metadata from a TIFF path or raw header text.
 
@@ -111,8 +170,28 @@ def parse_scanimage_metadata(source):
         n_pages = None
 
     fields = parse_scanimage_header(text or "")
-    if not fields:
+    # description-embedded fallback/merge: older ScanImage builds bury the
+    # fields mid-line — semicolon-separated, wrapped in other text — which
+    # the line-oriented header parser misses or mangles (reference
+    # _scanimage.py:222-290, _extract_from_description)
+    rec = extract_from_description(text or "")
+    if not fields and not rec:
         return None
+    if not fields:
+        return {
+            "is_scanimage": True,
+            "channels": int(rec.get("channels", 1) or 1),
+            "slices_per_volume": int(rec.get("slices_per_volume", 1) or 1),
+            "frames_per_slice": int(rec.get("frames_per_slice", 1) or 1),
+            "num_volumes": (int(rec["num_volumes"])
+                            if rec.get("num_volumes") else None),
+            "z_step": rec.get("z_step"),
+            "frame_rate": rec.get("frame_rate"),
+            "volume_rate": None,
+            "n_pages": n_pages,
+            "roi_data": parse_roi_groups(artist),
+            "raw_fields": rec,
+        }
 
     def get(*names, default=None):
         for n in names:
@@ -125,14 +204,27 @@ def parse_scanimage_metadata(source):
         channels = len(save)
     else:
         channels = 1
+    if channels == 1 and rec.get("channels"):
+        channels = rec["channels"]
+
+    def _intlike(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
 
     slices = get("SI.hStackManager.numSlices",
                  "SI.hStackManager.actualNumSlices", default=1)
+    if not _intlike(slices):
+        slices = rec.get("slices_per_volume", 1)
     frames_per_slice = get("SI.hStackManager.framesPerSlice", default=1)
+    if not _intlike(frames_per_slice):
+        frames_per_slice = rec.get("frames_per_slice", 1)
     num_volumes = get("SI.hStackManager.numVolumes",
                       "SI.hStackManager.actualNumVolumes", default=None)
-    z_step = get("SI.hStackManager.stackZStepSize", default=None)
-    frame_rate = get("SI.hRoiManager.scanFrameRate", default=None)
+    if num_volumes is not None and not _intlike(num_volumes):
+        num_volumes = rec.get("num_volumes")
+    z_step = get("SI.hStackManager.stackZStepSize",
+                 default=rec.get("z_step"))
+    frame_rate = get("SI.hRoiManager.scanFrameRate",
+                     default=rec.get("frame_rate"))
     volume_rate = get("SI.hRoiManager.scanVolumeRate", default=None)
 
     # FastZ (piezo) volumetric mode overrides the stack manager counts

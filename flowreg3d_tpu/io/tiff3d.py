@@ -86,8 +86,18 @@ class TIFFFileReader3D(VideoReader3D):
         self.dtype = _np_dtype(p0.sample_format, p0.bits, "=")
 
     def _initialize_eager(self):
-        """Whole-file load for layouts the page mapping cannot express."""
-        pages = self._tf.asarray()  # (N, H, W[, S])
+        """Layouts the (t,z,c)->page mapping cannot express.
+
+        Prefers a zero-copy memmap view over the file (the reference's
+        ``use_memmap`` / ``asarray(out="memmap")`` behavior, reference
+        util/io/tiff.py:41-55,444-445) so exotic ``dim_order`` files keep
+        bounded RSS; the transpose below is a view, and only the frames a
+        ``__getitem__``/``read_batch`` touches are ever paged in. Falls
+        back to a whole-file decode for compressed/non-uniform layouts.
+        """
+        pages = self._tf.memmap_pages()
+        if pages is None:
+            pages = self._tf.asarray()  # (N, H, W[, S])
         arr = pages
         order = self.dim_order
         if "C" not in order:
@@ -115,7 +125,9 @@ class TIFFFileReader3D(VideoReader3D):
 
     def _read_raw_frames(self, frame_indices):
         if self._data is not None:
-            return self._data[frame_indices].copy()
+            out = self._data[frame_indices]
+            return np.ascontiguousarray(out).astype(
+                out.dtype.newbyteorder("="), copy=False)
         if isinstance(frame_indices, slice):
             ts = range(*frame_indices.indices(self.frame_count))
         else:

@@ -100,3 +100,66 @@ def test_interpret_discrete_plane_rois():
         meta, n_pages=30)
     assert slices == 3      # zs {0, 10, 20}
     assert volumes == 10
+
+
+def test_description_embedded_extraction():
+    """Fields buried mid-line (older ScanImage: MATLAB-evaluable strings,
+    semicolon-separated) are recovered by pattern — reference
+    _scanimage.py:222-290 (_extract_from_description)."""
+    from flowreg3d_tpu.io.scanimage import (extract_from_description,
+                                            parse_scanimage_metadata)
+
+    desc = ("state.internal.foo = 3; SI.hChannels.channelSave = [1,2] ; "
+            "SI.hStackManager.numSlices = 30;"
+            "SI.hFastZ.numVolumes = 500;"
+            "SI.hStackManager.stackZStepSize = 2.5;"
+            "SI.hRoiManager.scanFrameRate = 30.02")
+    rec = extract_from_description(desc)
+    assert rec["channels"] == 2
+    assert rec["slices_per_volume"] == 30
+    assert rec["num_volumes"] == 500
+    assert rec["z_step"] == 2.5
+    assert rec["frame_rate"] == 30.02
+
+    meta = parse_scanimage_metadata(desc)
+    assert meta["is_scanimage"]
+    assert meta["channels"] == 2
+    assert meta["slices_per_volume"] == 30
+    assert meta["num_volumes"] == 500
+
+
+def test_description_z_positions_fallback():
+    from flowreg3d_tpu.io.scanimage import extract_from_description
+
+    rec = extract_from_description(
+        "SI.hFastZ.positionAbsolute = [0.0 4.0 8.0 12.0];"
+        "SI.hFastZ.numFramesPerVolume = 4")
+    assert rec["z_step"] == 4.0
+    assert rec["slices_per_volume"] == 4
+
+
+def test_description_only_file_metadata(tmp_path):
+    """A TIFF whose only ScanImage signal is a mid-line description still
+    yields structured metadata (fixture test per VERDICT round-2 #9)."""
+    import numpy as np
+
+    from flowreg3d_tpu.io._tiff_format import TiffWriter
+    from flowreg3d_tpu.io.scanimage import parse_scanimage_metadata
+
+    path = tmp_path / "si_desc.tif"
+    desc = ("scanimage legacy; SI.hChannels.channelsActive = 2; "
+            "SI.hStackManager.numSlices = 6; "
+            "SI.hStackManager.numVolumes = 10")
+    with TiffWriter(str(path)) as tw:
+        tw.set_description(desc)
+        for _ in range(120):
+            tw.write_page(np.zeros((4, 4), np.uint16))
+    meta = parse_scanimage_metadata(str(path))
+    assert meta is not None
+    assert meta["channels"] == 2
+    assert meta["slices_per_volume"] == 6
+    assert meta["num_volumes"] == 10
+
+    from flowreg3d_tpu.io.scanimage import interpret_scanimage_dimensions
+    vols, slices, ch = interpret_scanimage_dimensions(meta, n_pages=120)
+    assert (vols, slices, ch) == (10, 6, 2)

@@ -102,3 +102,54 @@ def test_reader_deinterleaves_sample_channels(tmp_path):
     r.close()
     np.testing.assert_array_equal(
         got, data.reshape(2, 3, 5, 7, 2))
+
+
+def test_exotic_dim_order_memmaps_bounded(tmp_path):
+    """Exotic ``dim_order`` layouts hit the eager fallback — which must be
+    a memmap view (reference use_memmap, util/io/tiff.py:41-55,444-445),
+    not a whole-file materialization. 2 GB logical, sparse on disk."""
+    from flowreg3d_tpu.io.tiff3d import TIFFFileReader3D
+
+    n_pages, h, w, s = 2048, 256, 512, 4
+    page_bytes = h * w * s * 2
+    page0 = (np.arange(h * w * s, dtype=np.uint16).reshape(h, w, s) % 1000)
+    path = tmp_path / "exotic.tif"
+    with TiffWriter(str(path), bigtiff=True) as tw:
+        tw.write_page(page0)
+        base = tw._pages[0][0]
+        # pages 1..N-1 live in a file hole: real IFDs, zero disk cost
+        for k in range(1, n_pages):
+            tw._pages.append((base + k * page_bytes, page_bytes,
+                              page0.shape, page0.dtype))
+        end = base + n_pages * page_bytes
+        tw._fh.truncate(end)
+        tw._fh.seek(end)
+        tw._pos = end
+
+    # T=pages, Y/X in-page, Z=sample axis: inexpressible by page streaming
+    r = TIFFFileReader3D(str(path), dim_order="TYXZ", buffer_size=4)
+    tracemalloc.start()
+    assert r.shape == (n_pages, s, h, w, 1)
+    first = r[0]
+    mid = r[n_pages // 2]
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    r.close()
+    np.testing.assert_array_equal(
+        first[..., 0], np.transpose(page0, (2, 0, 1)))
+    assert mid.max() == 0
+    assert peak < MEM_CAP, f"peak {peak / 2**20:.0f} MB"
+
+
+def test_memmap_pages_matches_asarray(tmp_path):
+    """The zero-copy view decodes identically to the strip decoder."""
+    rng = np.random.default_rng(7)
+    data = (rng.random((5, 16, 24)) * 500).astype(np.uint16)
+    path = tmp_path / "mm.tif"
+    with TiffWriter(str(path)) as tw:
+        for p in data:
+            tw.write_page(p)
+    with TiffReader(str(path)) as tr:
+        mm = tr.memmap_pages()
+        assert mm is not None
+        np.testing.assert_array_equal(np.asarray(mm), tr.asarray())
