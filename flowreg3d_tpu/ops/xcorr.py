@@ -68,20 +68,68 @@ def _phase_xcorr_core(ref, mov, upsample_factor=1, normalization="phase"):
     return shift
 
 
-def _overlap_corr(ref, mov, shift_int):
-    """Pearson correlation of ref with integer-shifted mov on the overlap."""
-    sr, sc = int(shift_int[0]), int(shift_int[1])
+def _overlap_corr_traced(ref, mov, sr, sc):
+    """Pearson correlation of ref with integer-shifted mov on the overlap.
+
+    Traced equivalent of the slice-based host formulation: ``jnp.roll`` by
+    the (dynamic) integer shift places mov[i-sr, j-sc] at (i, j); the
+    overlap region is expressed as a validity mask and the correlation
+    computed with masked means/sums.
+    """
     H, W = ref.shape
-    r0, r1 = max(0, sr), min(H, H + sr)
-    c0, c1 = max(0, sc), min(W, W + sc)
-    if r1 - r0 < 2 or c1 - c0 < 2:
-        return -np.inf
-    a = ref[r0:r1, c0:c1]
-    b = mov[r0 - sr:r1 - sr, c0 - sc:c1 - sc]
-    a = a - a.mean()
-    b = b - b.mean()
-    denom = np.sqrt((a * a).sum() * (b * b).sum())
-    return float((a * b).sum() / denom) if denom > 0 else -np.inf
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    mov_sh = jnp.roll(jnp.roll(mov, sr, axis=0), sc, axis=1)
+    valid = ((rows >= jnp.maximum(sr, 0)) & (rows < H + jnp.minimum(sr, 0))
+             & (cols >= jnp.maximum(sc, 0)) & (cols < W + jnp.minimum(sc, 0)))
+    cnt = jnp.maximum(valid.sum(), 1).astype(ref.dtype)
+    validf = valid.astype(ref.dtype)
+    am = (ref * validf).sum() / cnt
+    bm = (mov_sh * validf).sum() / cnt
+    a = (ref - am) * validf
+    b = (mov_sh - bm) * validf
+    denom = jnp.sqrt((a * a).sum() * (b * b).sum())
+    score = jnp.where(denom > 0, (a * b).sum() / denom, -jnp.inf)
+    too_small = ((H - jnp.abs(sr)) < 2) | ((W - jnp.abs(sc)) < 2)
+    return jnp.where(too_small, -jnp.inf, score)
+
+
+def _disambiguate_traced(ref, mov, shift):
+    """Resolve the n-periodic shift ambiguity by real-space correlation.
+
+    Traced equivalent of skimage's ``disambiguate=True``: tests the four
+    candidate shifts (s mod n, s mod n - n per axis) against the Pearson
+    correlation of the overlapping regions and keeps the best.
+    """
+    H, W = ref.shape
+    cr = jnp.stack([shift[0] % H, (shift[0] % H) - H])
+    cc = jnp.stack([shift[1] % W, (shift[1] % W) - W])
+    cand_r = jnp.stack([cr[0], cr[0], cr[1], cr[1]])
+    cand_c = jnp.stack([cc[0], cc[1], cc[0], cc[1]])
+    scores = jnp.stack([
+        _overlap_corr_traced(ref, mov,
+                             jnp.round(cand_r[k]).astype(jnp.int32),
+                             jnp.round(cand_c[k]).astype(jnp.int32))
+        for k in range(4)])
+    best = jnp.argmax(scores)
+    return jnp.stack([cand_r[best], cand_c[best]])
+
+
+@partial(jax.jit, static_argnames=("upsample_factor", "normalization",
+                                   "disambiguate"))
+def phase_xcorr_shift(ref, mov, upsample_factor=1, normalization="phase",
+                      disambiguate=False):
+    """Fully-traced shift (row, col) registering mov onto ref.
+
+    Jit-compatible core of ``phase_cross_correlation`` — composable into
+    larger programs (the on-device cc prealignment pipeline)."""
+    ref = jnp.asarray(ref, jnp.float32)
+    mov = jnp.asarray(mov, jnp.float32)
+    shift = _phase_xcorr_core(ref, mov, upsample_factor=int(upsample_factor),
+                              normalization=normalization)
+    if disambiguate:
+        shift = _disambiguate_traced(ref, mov, shift)
+    return shift
 
 
 def phase_cross_correlation(reference_image, moving_image, upsample_factor=1,
@@ -94,21 +142,8 @@ def phase_cross_correlation(reference_image, moving_image, upsample_factor=1,
     """
     ref = np.asarray(reference_image, np.float32)
     mov = np.asarray(moving_image, np.float32)
-    shift = np.asarray(_phase_xcorr_core(
+    shift = np.asarray(phase_xcorr_shift(
         ref, mov, upsample_factor=int(upsample_factor),
-        normalization=normalization))
-
-    if disambiguate:
-        H, W = ref.shape
-        cands_r = {shift[0] % H, (shift[0] % H) - H}
-        cands_c = {shift[1] % W, (shift[1] % W) - W}
-        best, best_score = None, -np.inf
-        for cr in cands_r:
-            for cc in cands_c:
-                score = _overlap_corr(ref, mov,
-                                      (round(float(cr)), round(float(cc))))
-                if score > best_score:
-                    best_score, best = score, (cr, cc)
-        shift = np.asarray(best, np.float32)
-
+        normalization=normalization, disambiguate=bool(disambiguate)),
+        np.float32)
     return shift, 0.0, 0.0

@@ -167,39 +167,51 @@ class BaseExecutor3D:
             return np.broadcast_to(w[..., None], (Z, Y, X, C)).copy()
         return np.broadcast_to(w, (Z, Y, X, C)).copy()
 
-    def _prealign(self, frame_proc, reference_proc, w_init, flow_params,
-                  interp_linear="linear"):
-        """Steps 1-4 of the reference's cc pipeline: warp by w_init, rigid
-        xcorr residual, combine, warp again. Returns (aligned, w_combined)."""
-        from flowreg3d_tpu.util.xcorr_prealignment import estimate_rigid_xcorr_3d
-
+    @staticmethod
+    def _cc_params(flow_params):
         cc_hw = flow_params.get("cc_hw", 256)
         if isinstance(cc_hw, int):
             cc_hw = (cc_hw, cc_hw)
         cc_up = int(flow_params.get("cc_up", 10))
         weight = flow_params.get("weight")
+        wvec = None
+        if weight is not None and np.ndim(weight) == 1:
+            wvec = np.asarray(weight, np.float32).reshape(-1)
+        return tuple(cc_hw), cc_up, wvec
 
-        mov_partial = np.asarray(imregister_wrapper(
-            frame_proc, w_init[..., 0], w_init[..., 1], w_init[..., 2],
-            reference_proc, interpolation_method=interp_linear))
-        ref_cc = reference_proc[..., 0] if reference_proc.shape[-1] == 1 \
-            else reference_proc
-        mov_cc = mov_partial[..., 0] if (mov_partial.ndim == 4
-                                         and mov_partial.shape[-1] == 1) \
-            else mov_partial
-        w_cross = estimate_rigid_xcorr_3d(ref_cc, mov_cc, target_hw=cc_hw,
-                                          up=cc_up, weight=weight)
-        w_combined = w_init.copy()
-        w_combined[..., 0] += w_cross[0]
-        w_combined[..., 1] += w_cross[1]
-        w_combined[..., 2] += w_cross[2]
-        aligned = np.asarray(imregister_wrapper(
-            frame_proc, w_combined[..., 0], w_combined[..., 1],
-            w_combined[..., 2], reference_proc,
-            interpolation_method=interp_linear))
-        if aligned.ndim == 3:
-            aligned = aligned[..., np.newaxis]
-        return aligned, w_combined
+    def _prealign(self, frame_proc, reference_proc, w_init, flow_params,
+                  interp_linear="linear"):
+        """Steps 1-4 of the reference's cc pipeline: warp by w_init, rigid
+        xcorr residual, combine, warp again — ONE compiled device program
+        (reference sequential_3d.py:89-150 runs these as six host calls).
+        Returns (aligned, w_combined) as numpy arrays."""
+        cc_hw, cc_up, wvec = self._cc_params(flow_params)
+        fn = _jit_prealign_single(cc_hw, cc_up, wvec is not None)
+        aligned, w_combined = fn(
+            jnp.asarray(frame_proc, self.dtype),
+            jnp.asarray(reference_proc, self.dtype),
+            jnp.asarray(w_init, jnp.float32),
+            jnp.asarray(wvec) if wvec is not None
+            else jnp.zeros((1,), jnp.float32))
+        return np.asarray(aligned), np.asarray(w_combined)
+
+    def _prealign_frames(self, batch_proc, reference_proc, w_init,
+                         flow_params):
+        """Prealign every frame of the batch; returns (aligned (T,Z,Y,X,C),
+        w_combined (T,Z,Y,X,3)). Base: host loop over the single compiled
+        program; downloads deferred so transfers overlap later dispatches."""
+        cc_hw, cc_up, wvec = self._cc_params(flow_params)
+        fn = _jit_prealign_single(cc_hw, cc_up, wvec is not None)
+        ref_d = jnp.asarray(reference_proc, self.dtype)
+        w_init_d = jnp.asarray(w_init, jnp.float32)
+        wv_d = (jnp.asarray(wvec) if wvec is not None
+                else jnp.zeros((1,), jnp.float32))
+        outs = [fn(jnp.asarray(batch_proc[t], self.dtype), ref_d, w_init_d,
+                   wv_d)
+                for t in range(batch_proc.shape[0])]
+        aligned = np.stack([np.asarray(a, np.float32) for a, _ in outs])
+        combined = np.stack([np.asarray(c, np.float32) for _, c in outs])
+        return aligned, combined
 
     def process_batch(self, batch, batch_proc, reference_raw, reference_proc,
                       w_init, get_displacement_func=None, imregister_func=None,
@@ -230,12 +242,10 @@ class BaseExecutor3D:
 
         w_init = np.asarray(w_init, np.float32)
         if use_cc:
-            # host-side rigid prealignment per frame, then batched residual
-            aligned = np.empty_like(batch_proc, dtype=np.float32)
-            combined = np.empty((T,) + w_init.shape, np.float32)
-            for t in range(T):
-                aligned[t], combined[t] = self._prealign(
-                    batch_proc[t], reference_proc, w_init, flow_params)
+            # on-device rigid prealignment (one compiled warp->xcorr->
+            # combine->warp program per frame), then batched residual flow
+            aligned, combined = self._prealign_frames(
+                batch_proc, reference_proc, w_init, flow_params)
             uvw = np.zeros((T,) + w_init.shape, np.float32)
             registered, flows = self._run(
                 batch, aligned, reference_raw, reference_proc, uvw,
@@ -334,6 +344,45 @@ def _jit_single_warp(interp):
     return jax.jit(warp)
 
 
+def _prealign_traced(cc_hw, cc_up, has_wvec, use_pallas=None):
+    """Steps 1-4 of the reference cc pipeline as one traced function:
+    warp-by-w_init (linear), rigid xcorr residual on projections, combine,
+    warp again. Parity: reference sequential_3d.py:91-145."""
+    from flowreg3d_tpu.util.xcorr_prealignment import (
+        estimate_rigid_xcorr_traced)
+
+    def prealign(frame_proc, ref_proc, w_init, weight_vec):
+        mov_partial = imregister_wrapper(
+            frame_proc, w_init[..., 0], w_init[..., 1], w_init[..., 2],
+            ref_proc, interpolation_method="linear", use_pallas=use_pallas)
+        w_cross = estimate_rigid_xcorr_traced(
+            ref_proc, mov_partial, target_hw=cc_hw, up=cc_up,
+            weight_vec=weight_vec if has_wvec else None)
+        w_combined = w_init + w_cross[None, None, None, :]
+        aligned = imregister_wrapper(
+            frame_proc, w_combined[..., 0], w_combined[..., 1],
+            w_combined[..., 2], ref_proc, interpolation_method="linear",
+            use_pallas=use_pallas)
+        if aligned.ndim == 3:
+            aligned = aligned[..., None]
+        return aligned, w_combined
+
+    return prealign
+
+
+@lru_cache(maxsize=8)
+def _jit_prealign_single(cc_hw, cc_up, has_wvec):
+    return jax.jit(_prealign_traced(cc_hw, cc_up, has_wvec))
+
+
+@lru_cache(maxsize=8)
+def _jit_prealign_chunk(cc_hw, cc_up, has_wvec):
+    # Pallas paths don't lower under a vmap batch dim
+    return jax.jit(jax.vmap(
+        _prealign_traced(cc_hw, cc_up, has_wvec, use_pallas=False),
+        in_axes=(0, None, None, None)))
+
+
 class SequentialExecutor3D(BaseExecutor3D):
     """Frame-by-frame host loop over one compiled flow+warp program."""
 
@@ -390,6 +439,30 @@ class BatchedExecutor3D(BaseExecutor3D):
         return (jnp.asarray(ref_raw, self.dtype),
                 jnp.asarray(ref_proc, self.dtype),
                 jnp.asarray(weight_vol, self.dtype))
+
+    def _prealign_frames(self, batch_proc, reference_proc, w_init,
+                         flow_params):
+        T = batch_proc.shape[0]
+        k = self._chunk_size(reference_proc.shape, T)
+        if k == 1:
+            return super()._prealign_frames(batch_proc, reference_proc,
+                                            w_init, flow_params)
+        cc_hw, cc_up, wvec = self._cc_params(flow_params)
+        fn = _jit_prealign_chunk(cc_hw, cc_up, wvec is not None)
+        ref_d = jnp.asarray(reference_proc, self.dtype)
+        w_init_d = jnp.asarray(w_init, jnp.float32)
+        wv_d = (jnp.asarray(wvec) if wvec is not None
+                else jnp.zeros((1,), jnp.float32))
+        np_dtype = np.dtype(jnp.dtype(self.dtype).name)
+        aligned, combined = [], []
+        for t0 in range(0, T, k):
+            sl = slice(t0, min(t0 + k, T))
+            chunk_p, n_valid = pad_to_multiple(
+                np.asarray(batch_proc[sl], np_dtype), k)
+            a, c = fn(jnp.asarray(chunk_p), ref_d, w_init_d, wv_d)
+            aligned.append(np.asarray(a, np.float32)[:n_valid])
+            combined.append(np.asarray(c, np.float32)[:n_valid])
+        return np.concatenate(aligned), np.concatenate(combined)
 
     def _place_chunk(self, *chunk_arrays):
         return [jnp.asarray(a) for a in chunk_arrays]
