@@ -42,15 +42,17 @@ from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 
 _LPG = 8   # output x-lines per grid program (one z, 8 consecutive y)
 # geometries (Dzg, Dyg, Dzl, Dyl): group DMA window (Dzg, Dyg) and the
-# per-line compute sub-window (Dzl, Dyl). Dz* cover the z-base span plus
-# n_taps; Dy* the output rows + y-base deviation + 8-aligned origin slack.
-# Matmul cost scales with Dzl*Dyl, so rough flows (e.g. weakly-regularized
-# solver output, alpha~0.25: group z-spans ~20, per-line ~15) pay for their
-# line spans, not the group envelope.
+# per-(line, x-chunk) compute sub-window (Dzl, Dyl). Dz* cover the z-base
+# span plus n_taps; Dy* the output rows + y-base deviation + 8-aligned
+# origin slack. Matmul cost scales with Dzl*Dyl and the sub-windows are
+# CHUNK-local (one origin per 128-wide output chunk, round-3 change): a
+# rough solver flow whose z-base spans ~16 rows across a full 512-line
+# pays only its ~4-6-row span within each chunk. Tiers differ mainly in
+# the group DMA envelope; the compute window stays small.
 _GEOMS = (
-    (8, 24, 8, 24),
-    (20, 40, 16, 24),
-    (28, 48, 24, 32),
+    (8, 24, 8, 16),
+    (24, 48, 8, 16),
+    (32, 64, 16, 24),
 )
 # x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
 # 128-aligned window instead of the full row. Worst-case slack for flow
@@ -116,9 +118,9 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
 
     slot = g % 2
     for i in range(_LPG):
-        dzo = win_ref[2 + nsub + i, g]
-        dyo = win_ref[2 + nsub + _LPG + i, g] * 8
         for s in range(nsub):
+            dzo = win_ref[2 + nsub + i * nsub + s, g]
+            dyo = win_ref[2 + nsub + _LPG * nsub + i * nsub + s, g] * 8
             if nsub == 1:
                 W = Xp
                 c0, S = 0, Xb
@@ -176,16 +178,17 @@ def _windows_1d(i0g, n_taps, D, ext_size, align):
 
 
 def _line_windows(i0l, n_taps, Dg, Dl, wg, align):
-    """Per-line sub-window origins inside the group window + validity.
+    """Per-(line, x-chunk) sub-window origins inside the group window.
 
-    i0l: (L8, LPG, X) int32 first-tap indices. Returns (o, valid) of
-    shapes (L8, LPG): absolute origin (clipped into [wg, wg + Dg - Dl],
-    ``align``-aligned) and whether the line's span fits [o, o + Dl).
+    i0l: (L8, LPG, nsub, S) int32 first-tap indices. Returns (o, valid) of
+    shapes (L8, LPG, nsub): absolute origin (clipped into
+    [wg, wg + Dg - Dl], ``align``-aligned) and whether the chunk's span
+    fits [o, o + Dl).
     """
     lo = i0l.min(axis=-1)
     hi = i0l.max(axis=-1)
     o = lo if align == 1 else (lo // align) * align
-    o = jnp.clip(o, wg[:, None], wg[:, None] + (Dg - Dl))
+    o = jnp.clip(o, wg[:, None, None], wg[:, None, None] + (Dg - Dl))
     valid = (hi + n_taps - 1 - o) <= (Dl - 1)
     return o, valid
 
@@ -243,8 +246,6 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
     L8 = (Z * Y) // _LPG
     zg = z0.reshape(L8, _LPG * X)
     yg = y0.reshape(L8, _LPG * X)
-    zl = z0.reshape(L8, _LPG, X)
-    yl = y0.reshape(L8, _LPG, X)
 
     # x-subwindows: each _SUB output chunk contracts against a _WSUB-wide
     # 128-aligned slice of the row instead of all Xp lanes
@@ -259,6 +260,14 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
         wx = jnp.clip((lo // 128) * 128, 0, Xp - _WSUB)     # (L8, nsub)
         vx_all = jnp.all((hi + n_taps - 1 - wx) <= (_WSUB - 1))
         wx_rows = [wx[:, s] // 128 for s in range(nsub)]
+    else:
+        wx_rows = [jnp.zeros((L8,), jnp.int32)] * nsub
+
+    # chunk-local (z, y) windows: one origin per (line, x-chunk), so the
+    # compute matmul contracts only the rows that chunk's samples can touch
+    Sc = X // nsub
+    zl = z0.reshape(L8, _LPG, nsub, Sc)
+    yl = y0.reshape(L8, _LPG, nsub, Sc)
 
     padx = Xb - X
 
@@ -281,12 +290,14 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
         oz, vzl = _line_windows(zl, n_taps, Dzg, Dzl, wz, 1)
         oy, vyl = _line_windows(yl, n_taps, Dyg, Dyl, wy, 8)
         valid = (jnp.all(vzg & vyg) & jnp.all(vzl & vyl) & vx_all)
-        lz = padb(z0.reshape(L8, _LPG, X) - oz[:, :, None])
-        ly = padb(y0.reshape(L8, _LPG, X) - oy[:, :, None])
+        lz = padb((zl - oz[..., None]).reshape(L8, _LPG, X))
+        ly = padb((yl - oy[..., None]).reshape(L8, _LPG, X))
+        dzo = (oz - wz[:, None, None]).reshape(L8, _LPG * nsub)
+        dyo = ((oy - wy[:, None, None]) // 8).reshape(L8, _LPG * nsub)
         win = jnp.stack(
             [wz, wy // 8] + wx_rows
-            + [(oz - wz[:, None])[:, i] for i in range(_LPG)]
-            + [((oy - wy[:, None]) // 8)[:, i] for i in range(_LPG)]
+            + [dzo[:, k] for k in range(_LPG * nsub)]
+            + [dyo[:, k] for k in range(_LPG * nsub)]
         ).astype(jnp.int32)
 
         def branch():
