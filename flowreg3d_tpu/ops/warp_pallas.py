@@ -119,8 +119,12 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
     slot = g % 2
     for i in range(_LPG):
         for s in range(nsub):
-            dzo = win_ref[2 + nsub + i * nsub + s, g]
-            dyo = win_ref[2 + nsub + _LPG * nsub + i * nsub + s, g] * 8
+            # (dzo, dyo/8) packed into one scalar: per-(line, chunk) rows
+            # at full L8 grids would otherwise exceed the 1MB SMEM
+            # scalar-prefetch budget (observed: 70 rows x 4096 groups)
+            pk = win_ref[2 + nsub + i * nsub + s, g]
+            dzo = pk // 16
+            dyo = (pk - dzo * 16) * 8
             if nsub == 1:
                 W = Xp
                 c0, S = 0, Xb
@@ -293,11 +297,12 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
         lz = padb((zl - oz[..., None]).reshape(L8, _LPG, X))
         ly = padb((yl - oy[..., None]).reshape(L8, _LPG, X))
         dzo = (oz - wz[:, None, None]).reshape(L8, _LPG * nsub)
-        dyo = ((oy - wy[:, None, None]) // 8).reshape(L8, _LPG * nsub)
+        dyo8 = ((oy - wy[:, None, None]) // 8).reshape(L8, _LPG * nsub)
+        # pack (dzo, dyo/8): dyo/8 <= (Dyg - Dyl)/8 < 16 for all geometries
+        pk = dzo * 16 + dyo8
         win = jnp.stack(
             [wz, wy // 8] + wx_rows
-            + [dzo[:, k] for k in range(_LPG * nsub)]
-            + [dyo[:, k] for k in range(_LPG * nsub)]
+            + [pk[:, k] for k in range(_LPG * nsub)]
         ).astype(jnp.int32)
 
         def branch():
