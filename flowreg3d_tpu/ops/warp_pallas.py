@@ -45,14 +45,17 @@ _LPG = 8   # output x-lines per grid program (one z, 8 consecutive y)
 # per-(line, x-chunk) compute sub-window (Dzl, Dyl). Dz* cover the z-base
 # span plus n_taps; Dy* the output rows + y-base deviation + 8-aligned
 # origin slack. Matmul cost scales with Dzl*Dyl and the sub-windows are
-# CHUNK-local (one origin per 128-wide output chunk, round-3 change): a
-# rough solver flow whose z-base spans ~16 rows across a full 512-line
-# pays only its ~4-6-row span within each chunk. Tiers differ mainly in
-# the group DMA envelope; the compute window stays small.
+# CHUNK-local (one origin per 128-wide output chunk): measured on the
+# canonical bench flow, ~98% of chunks fit (16, 24) while the worst chunk
+# spans ~20 z-rows — so tier selection is NOT all-or-nothing: a chunk
+# whose span misses (Dzl, Dyl) falls back IN-KERNEL to contracting the
+# full (Dzg, Dyg) group window (compiled once per tier, taken by ~2% of
+# chunks), and the lax.cond tier gate depends only on the group windows
+# fitting. Two tiers: smooth flows (cheap DMA envelope) and rough solver
+# flows (wide group envelope, small common-case compute window).
 _GEOMS = (
     (8, 24, 8, 16),
-    (24, 48, 8, 16),
-    (32, 64, 16, 24),
+    (28, 48, 16, 24),
 )
 # x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
 # 128-aligned window instead of the full row. Worst-case slack for flow
@@ -119,31 +122,24 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
     slot = g % 2
     for i in range(_LPG):
         for s in range(nsub):
-            # (dzo, dyo/8) packed into one scalar: per-(line, chunk) rows
-            # at full L8 grids would otherwise exceed the 1MB SMEM
-            # scalar-prefetch budget (observed: 70 rows x 4096 groups)
+            # (valid, dzo, dyo/8) packed into one scalar: separate
+            # per-(line, chunk) rows at full L8 grids would exceed the 1MB
+            # SMEM scalar-prefetch budget (observed: 70 rows x 4096 groups)
             pk = win_ref[2 + nsub + i * nsub + s, g]
-            dzo = pk // 16
-            dyo = (pk - dzo * 16) * 8
+            vbit = pk // 512
+            rest = pk - vbit * 512
+            dzo = rest // 16
+            dyo = (rest - dzo * 16) * 8
             if nsub == 1:
                 W = Xp
                 c0, S = 0, Xb
-                xoff = 0
-                Fh = fwin[slot, 0, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl)]
-                Fl = fwin[slot, 1, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl)]
+                wx = 0
             else:
                 W, S = _WSUB, _SUB
                 c0 = s * S
                 wx = win_ref[2 + s, g] * 128
-                xoff = wx
-                Fh = fwin[slot, 0, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl),
-                          pl.ds(wx, W)]
-                Fl = fwin[slot, 1, pl.ds(dzo, Dzl), pl.ds(dyo, Dyl),
-                          pl.ds(wx, W)]
-            Fh = Fh.reshape(Dzl * Dyl, W)
-            Fl = Fl.reshape(Dzl * Dyl, W)
 
-            x0 = x0_ref[0, i, c0:c0 + S].reshape(1, S) - xoff
+            x0 = x0_ref[0, i, c0:c0 + S].reshape(1, S) - wx
             lz = lz_ref[0, i, c0:c0 + S].reshape(1, S)
             ly = ly_ref[0, i, c0:c0 + S].reshape(1, S)
             wxs = _w_taps(fx_ref[0, i, c0:c0 + S].reshape(1, S), order)
@@ -151,15 +147,39 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             wzs = _w_taps(fz_ref[0, i, c0:c0 + S].reshape(1, S), order)
 
             At = wmat(W, S, x0, wxs)      # x-taps one-hot * weight
-            WYt = wmat(Dyl, S, ly, wys)
-            WZt = wmat(Dzl, S, lz, wzs)
-
             Ath, Atl = split(At)
-            G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
-            G = G.reshape(Dzl, Dyl, S)
-            t1 = (G * WYt[None, :, :]).sum(axis=1)       # (Dzl, S)
-            out = (t1 * WZt).sum(axis=0)                 # (S,)
-            out_ref[0, i, c0:c0 + S] = out
+
+            def contract(Fh, Fl, Dz, Dy, WZt, WYt):
+                Fh = Fh.reshape(Dz * Dy, W)
+                Fl = Fl.reshape(Dz * Dy, W)
+                G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+                G = G.reshape(Dz, Dy, S)
+                t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
+                return (t1 * WZt).sum(axis=0)            # (S,)
+
+            def fsl(h, z0, Dz, y0, Dy):
+                if nsub == 1:
+                    return fwin[slot, h, pl.ds(z0, Dz), pl.ds(y0, Dy)]
+                return fwin[slot, h, pl.ds(z0, Dz), pl.ds(y0, Dy),
+                            pl.ds(wx, W)]
+
+            # common case: this chunk's sample band fits the small
+            # (Dzl, Dyl) sub-window at its prefetched origin
+            @pl.when(vbit == 1)
+            def _small():
+                out_ref[0, i, c0:c0 + S] = contract(
+                    fsl(0, dzo, Dzl, dyo, Dyl), fsl(1, dzo, Dzl, dyo, Dyl),
+                    Dzl, Dyl, wmat(Dzl, S, lz, wzs), wmat(Dyl, S, ly, wys))
+
+            # tail case (~2% of chunks on rough solver flows): contract
+            # the full group window; lz/ly are chunk-origin-relative, so
+            # re-offset them to the group origin
+            @pl.when(vbit == 0)
+            def _group():
+                out_ref[0, i, c0:c0 + S] = contract(
+                    fsl(0, 0, Dzg, 0, Dyg), fsl(1, 0, Dzg, 0, Dyg),
+                    Dzg, Dyg, wmat(Dzg, S, lz + dzo, wzs),
+                    wmat(Dyg, S, ly + dyo, wys))
 
 
 def _ceil_to(v, m):
@@ -293,13 +313,20 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
         wy, vyg = _windows_1d(yg, n_taps, Dyg, Yp, 8)
         oz, vzl = _line_windows(zl, n_taps, Dzg, Dzl, wz, 1)
         oy, vyl = _line_windows(yl, n_taps, Dyg, Dyl, wy, 8)
-        valid = (jnp.all(vzg & vyg) & jnp.all(vzl & vyl) & vx_all)
+        # the lax.cond tier gate depends on the GROUP windows only; chunks
+        # whose spans miss the small sub-window take the in-kernel group-
+        # window path via the per-chunk validity bit
+        valid = (jnp.all(vzg & vyg) & vx_all)
         lz = padb((zl - oz[..., None]).reshape(L8, _LPG, X))
         ly = padb((yl - oy[..., None]).reshape(L8, _LPG, X))
         dzo = (oz - wz[:, None, None]).reshape(L8, _LPG * nsub)
         dyo8 = ((oy - wy[:, None, None]) // 8).reshape(L8, _LPG * nsub)
-        # pack (dzo, dyo/8): dyo/8 <= (Dyg - Dyl)/8 < 16 for all geometries
-        pk = dzo * 16 + dyo8
+        vbit = (vzl & vyl).reshape(L8, _LPG * nsub)
+        # pack (valid, dzo, dyo/8) into one scalar per (line, chunk):
+        # dzo*16 + dyo/8 <= (Dzg-Dzl)*16 + (Dyg-Dyl)/8 < 512 for every
+        # geometry (asserted below)
+        assert (Dzg - Dzl) * 16 + (Dyg - Dyl) // 8 < 512
+        pk = vbit.astype(jnp.int32) * 512 + dzo * 16 + dyo8
         win = jnp.stack(
             [wz, wy // 8] + wx_rows
             + [pk[:, k] for k in range(_LPG * nsub)]

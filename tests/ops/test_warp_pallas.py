@@ -87,6 +87,28 @@ def test_x_subwindow_path():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("order", [3, 1])
+def test_chunk_group_fallback_path(order):
+    """A chunk whose z-span misses the small sub-window but fits the group
+    window must take the in-kernel group-window path (vbit=0), not the
+    row-gather fallback: group span stays within tier-2's (28, 48) envelope
+    by construction while one line's span exceeds Dzl=16."""
+    rng = np.random.default_rng(4)
+    Z, Y, X = 32, 16, 20
+    vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    # one rough line: z-coordinate swings 14 rows along x in lines y==3
+    w = np.where(yy == 3, 14.0 * np.sin(np.pi * xx / (X - 1)), 0.2 * zz / Z)
+    cz, cy, cx = _grids((Z, Y, X), 0.3, -0.6, w)
+    got = map_coordinates_windowed(vol, cz, cy, cx, order=order,
+                                   interpret=True)
+    ref = (W.map_coordinates_cubic if order == 3
+           else W.map_coordinates_linear)(vol, cz, cy, cx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_window_validity_flags():
     i0 = jnp.asarray(
         np.stack([np.full(40, 3), np.r_[np.full(20, 0), np.full(20, 30)]]),
