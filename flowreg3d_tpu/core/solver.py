@@ -304,12 +304,10 @@ def compute_flow_level(J_entries, weight, u, v, w, alpha, iterations,
     alpha = jnp.asarray(alpha, dtype)
     a_smooth_is_one = float(a_smooth) == 1.0
     if use_pallas is None:
-        # VMEM gate: at sz=1 the fused kernels keep ~30-34 (m,n)-planes
-        # resident; planes above ~400KB (e.g. full-res 512^2) cannot fit
-        # 16MB VMEM and must take the XLA path
-        _, m0, n0 = u.shape
-        plane_bytes = (-(-m0 // 8) * 8) * (-(-n0 // 128) * 128) * 4
-        use_pallas = pallas_enabled() and plane_bytes * 34 <= 14 * 2 ** 20
+        # planes past the whole-plane VMEM budget route to the y-tiled
+        # fused kernels inside solver_pallas, so every level shape runs
+        # Pallas when a TPU is present
+        use_pallas = pallas_enabled()
     return _solve(Jt, weight.astype(dtype), u, v, w, alpha, a_data,
                   jnp.asarray(a_smooth, dtype),
                   jnp.asarray(hx, dtype), jnp.asarray(hy, dtype),

@@ -423,13 +423,282 @@ def _pick_slab_psi(p_int, m, n, budget_bytes=11 * 2 ** 20):
     return min(sz, p_int)
 
 
+def _sweep_kernel_psi_ty(phase_base, p_int, m0, n0, ty, params_ref,
+                         duvw_ref, base_ref, sj_ref, psi_seed_ref, out_ref,
+                         psi_ref, vmem_h4, vmem_b4, vmem_sj, vmem_psi,
+                         vmem_out, sem_in, sem_out):
+    """y-tiled fused flow-driven-diffusivity solver (see _sweep_kernel_psi
+    and the tiling rationale at _sweep_kernel_ty). Grid (n_iters, 3,
+    n_slabs, n_ty); phase 0 writes the psi field for its (slab, tile)
+    CENTER rows only — every global row belongs to exactly one tile's
+    center, and all phase-0 programs complete before the first half-sweep
+    reads psi with halos, so halo reads land on rows written by the
+    neighboring tiles' programs.
+    """
+    phase = pl.program_id(1) + phase_base
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    sz = vmem_out.shape[1]
+    n = vmem_out.shape[3]
+    TY = ty + 16
+    S4 = sz + 4
+    ax = params_ref[0]
+    ay = params_ref[1]
+    az = params_ref[2]
+    a_s = params_ref[3]
+    ihx2 = params_ref[4]
+    ihy2 = params_ref[5]
+    ihz2 = params_ref[6]
+
+    @pl.when(phase == 0)
+    def _psi_phase():
+        d1 = pltpu.make_async_copy(
+            duvw_ref.at[:, pl.ds(i * sz, S4), pl.ds(j * ty, TY)],
+            vmem_h4, sem_in.at[0])
+        d2 = pltpu.make_async_copy(
+            base_ref.at[:, pl.ds(i * sz, S4), pl.ds(j * ty, TY)],
+            vmem_b4, sem_in.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+        zg = (jax.lax.broadcasted_iota(jnp.int32, (S4, TY, n), 0)
+              + i * sz - 1)
+        yg = (jax.lax.broadcasted_iota(jnp.int32, (S4, TY, n), 1)
+              + j * ty - 8)
+        xg = jax.lax.broadcasted_iota(jnp.int32, (S4, TY, n), 2)
+        p0 = p_int + 2
+
+        def ring_copy(f):
+            # emulate set_boundary (ring = adjacent interior) on the padded
+            # block; roll wrap corruption lands outside the consumed rows
+            zm1 = pltpu.roll(f, S4 - 1, 0)   # value at local r+1
+            zp1 = pltpu.roll(f, 1, 0)        # value at local r-1
+            f = jnp.where(zg == 0, zm1, jnp.where(zg == p0 - 1, zp1, f))
+            ym1 = pltpu.roll(f, TY - 1, 1)
+            yp1 = pltpu.roll(f, 1, 1)
+            f = jnp.where(yg == 0, ym1, jnp.where(yg == m0 - 1, yp1, f))
+            xm1 = pltpu.roll(f, n - 1, 2)
+            xp1 = pltpu.roll(f, 1, 2)
+            return jnp.where(xg == 0, xm1,
+                             jnp.where(xg == n0 - 1, xp1, f))
+
+        g2 = jnp.zeros((S4, TY, n), vmem_h4.dtype)
+        for c in range(3):
+            tot = vmem_b4[c] + ring_copy(vmem_h4[c])
+            tp = pltpu.roll(tot, S4 - 1, 0)
+            tm = pltpu.roll(tot, 1, 0)
+            gz = (jnp.where(zg == p0 - 1, tot, tp)
+                  - jnp.where(zg == 0, tot, tm)) * ihz2
+            tp = pltpu.roll(tot, TY - 1, 1)
+            tm = pltpu.roll(tot, 1, 1)
+            gy = (jnp.where(yg == m0 - 1, tot, tp)
+                  - jnp.where(yg == 0, tot, tm)) * ihy2
+            tp = pltpu.roll(tot, n - 1, 2)
+            tm = pltpu.roll(tot, 1, 2)
+            gx = (jnp.where(xg == n0 - 1, tot, tp)
+                  - jnp.where(xg == 0, tot, tm)) * ihx2
+            g2 = g2 + gz * gz + gy * gy + gx * gx
+
+        psi = a_s * jnp.exp((a_s - 1.0) * jnp.log(g2 + EPS_SMOOTH))
+        vmem_psi[:, 8:8 + ty] = psi[1:sz + 3, 8:8 + ty]
+        od = pltpu.make_async_copy(
+            vmem_psi.at[:, pl.ds(8, ty)],
+            psi_ref.at[pl.ds(i * sz + 1, sz + 2), pl.ds(j * ty + 8, ty)],
+            sem_out.at[0])
+        od.start()
+        od.wait()
+
+    @pl.when(phase > 0)
+    def _sweep_phase():
+        d1 = pltpu.make_async_copy(
+            duvw_ref.at[:, pl.ds(i * sz + 1, sz + 2), pl.ds(j * ty, TY)],
+            vmem_h4.at[:, 0:sz + 2], sem_in.at[0])
+        d2 = pltpu.make_async_copy(
+            base_ref.at[:, pl.ds(i * sz + 1, sz + 2), pl.ds(j * ty, TY)],
+            vmem_b4.at[:, 0:sz + 2], sem_in.at[1])
+        d3 = pltpu.make_async_copy(
+            sj_ref.at[:, pl.ds(i * sz + 2, sz), pl.ds(j * ty + 8, ty)],
+            vmem_sj, sem_in.at[2])
+        d4 = pltpu.make_async_copy(
+            psi_ref.at[pl.ds(i * sz + 1, sz + 2), pl.ds(j * ty, TY)],
+            vmem_psi, sem_in.at[3])
+        d1.start()
+        d2.start()
+        d3.start()
+        d4.start()
+        d1.wait()
+        d2.wait()
+        d3.wait()
+        d4.wait()
+
+        def C(f):
+            return f[1:sz + 1, 8:8 + ty]
+
+        du = vmem_h4[0, 0:sz + 2]
+        dv = vmem_h4[1, 0:sz + 2]
+        dw = vmem_h4[2, 0:sz + 2]
+        u = vmem_b4[0, 0:sz + 2]
+        v = vmem_b4[1, 0:sz + 2]
+        w = vmem_b4[2, 0:sz + 2]
+        psi = vmem_psi
+        (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
+            vmem_sj[k] for k in range(_N_SLAB)]
+
+        duC = C(du)
+        dvC = C(dv)
+        dwC = C(dw)
+        psiC = C(psi)
+
+        zg = (jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 0)
+              + i * sz + 1)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 1) + j * ty
+        xg = jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 2)
+        mask = ((zg + yg + xg) % 2 == phase - 1)
+        mask = mask & ((zg <= p_int)
+                       & (yg >= 1) & (yg <= m0 - 2)
+                       & (xg >= 1) & (xg <= n0 - 2))
+
+        sw_xm = 0.5 * (psiC + pltpu.roll(psiC, 1, 2)) * ax
+        sw_xp = 0.5 * (psiC + pltpu.roll(psiC, n - 1, 2)) * ax
+        sw_ym = 0.5 * (psiC + psi[1:sz + 1, 7:7 + ty]) * ay
+        sw_yp = 0.5 * (psiC + psi[1:sz + 1, 9:9 + ty]) * ay
+        sw_zm = 0.5 * (psiC + psi[0:sz, 8:8 + ty]) * az
+        sw_zp = 0.5 * (psiC + psi[2:sz + 2, 8:8 + ty]) * az
+        sw_sum = sw_xm + sw_xp + sw_ym + sw_yp + sw_zm + sw_zp
+
+        def shifted_sums(base, inc):
+            tot = base + inc
+            totC = C(tot)
+            baseC = C(base)
+            incC = C(inc)
+            xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
+                           pltpu.roll(totC, 1, 2))
+            xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
+                           pltpu.roll(totC, n - 1, 2))
+            ym = jnp.where(yg == 1, base[1:sz + 1, 7:7 + ty] + incC,
+                           tot[1:sz + 1, 7:7 + ty])
+            yp = jnp.where(yg == m0 - 2, base[1:sz + 1, 9:9 + ty] + incC,
+                           tot[1:sz + 1, 9:9 + ty])
+            zm = jnp.where(zg == 1, base[0:sz, 8:8 + ty] + incC,
+                           tot[0:sz, 8:8 + ty])
+            zp = jnp.where(zg == p_int, base[2:sz + 2, 8:8 + ty] + incC,
+                           tot[2:sz + 2, 8:8 + ty])
+            return (sw_xm * (xm - baseC) + sw_xp * (xp - baseC)
+                    + sw_ym * (ym - baseC) + sw_yp * (yp - baseC)
+                    + sw_zm * (zm - baseC) + sw_zp * (zp - baseC))
+
+        nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
+        nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
+        nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+
+        new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
+        new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
+        new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+
+        vmem_out[0] = jnp.where(mask, new_du, duC)
+        vmem_out[1] = jnp.where(mask, new_dv, dvC)
+        vmem_out[2] = jnp.where(mask, new_dw, dwC)
+
+        od = pltpu.make_async_copy(
+            vmem_out,
+            out_ref.at[:, pl.ds(i * sz + 2, sz), pl.ds(j * ty + 8, ty)],
+            sem_out.at[0])
+        od.start()
+        od.wait()
+
+
+def _bytes_psi_ty(sz, ty, n):
+    """VMEM bytes of the y-tiled psi kernel's scratch buffers."""
+    return 4 * n * (6 * (sz + 4) * (ty + 16) + 12 * sz * ty
+                    + (sz + 2) * (ty + 16))
+
+
+def _pick_psi_ty(p_int, m0, n, budget_bytes=10 * 2 ** 20):
+    ty = 8
+    while ty * 2 < m0 and _bytes_psi_ty(1, ty * 2, n) <= budget_bytes:
+        ty *= 2
+    return ty
+
+
+def _sweep_iterations_psi_ty(du, dv, dw, u, v, w, SJ, params, n_iters,
+                             interpret, force_ty):
+    """y-tiled variant of ``sweep_iterations_pallas_psi``; interpret mode
+    runs one phase per call (see _sweep_iterations_ty)."""
+    p, m0, n0 = du.shape
+    p_int = p - 2
+    n = -(-n0 // 128) * 128
+    ty = force_ty if force_ty is not None else _pick_psi_ty(p_int, m0, n)
+    sz = 1
+    while sz < p_int and _bytes_psi_ty(sz + 1, ty, n) <= 10 * 2 ** 20:
+        sz += 1
+    n_slabs = -(-p_int // sz)
+    n_ty = -(-m0 // ty)
+    # one leading z pad row (global g at padded g+1) + phase-0 halo tail
+    pp = n_slabs * sz + 6
+    M = n_ty * ty + 16
+
+    def padf(f):
+        return jnp.pad(f, ((0, 0), (1, pp - p - 1), (8, M - 8 - m0),
+                           (0, n - n0)))
+
+    duvw = padf(jnp.stack([du, dv, dw]))
+    base = padf(jnp.stack([u, v, w]))
+    sj = padf(jnp.stack(list(SJ)))
+    psi_seed = jnp.zeros((pp, M, n), du.dtype)
+    params = jnp.asarray(params, du.dtype)
+
+    def call(state, psi_arr, phase_base, nph, k_iters):
+        kern = functools.partial(_sweep_kernel_psi_ty, phase_base, p_int,
+                                 m0, n0, ty)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_iters, nph, n_slabs, n_ty),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((3, sz + 4, ty + 16, n), du.dtype),
+                pltpu.VMEM((3, sz + 4, ty + 16, n), du.dtype),
+                pltpu.VMEM((_N_SLAB, sz, ty, n), du.dtype),
+                pltpu.VMEM((sz + 2, ty + 16, n), du.dtype),
+                pltpu.VMEM((3, sz, ty, n), du.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((3, pp, M, n), du.dtype),
+                       jax.ShapeDtypeStruct((pp, M, n), du.dtype)],
+            input_output_aliases={1: 0, 4: 1},  # +1 for scalar prefetch
+            interpret=interpret,
+        )(params, state, base, sj, psi_arr)
+
+    if interpret:
+        state, psi_arr = duvw, psi_seed
+        for _ in range(n_iters):
+            for ph in (0, 1, 2):
+                state, psi_arr = call(state, psi_arr, ph, 1, 1)
+        out = state
+    else:
+        out, _ = call(duvw, psi_seed, 0, 3, n_iters)
+    return tuple(out[k, 1:p + 1, 8:8 + m0, :n0] for k in range(3))
+
+
 def sweep_iterations_pallas_psi(du, dv, dw, u, v, w, SJ, params, n_iters,
-                                interpret=False):
+                                interpret=False, force_ty=None):
     """``n_iters`` full psi->red->black iterations in ONE pallas_call.
 
     params: (7,) [ax, ay, az, a_smooth, 0.5/hx, 0.5/hy, 0.5/hz]. Boundary
     rings of du/dv/dw are NOT updated (callers apply set_boundary after).
+    Oversized planes route to the y-tiled kernel (see _sweep_kernel_ty);
+    ``force_ty`` pins a tile height for tests.
     """
+    if force_ty is not None or not _fits_whole_plane(
+            -(-du.shape[1] // 8) * 8, -(-du.shape[2] // 128) * 128):
+        return _sweep_iterations_psi_ty(du, dv, dw, u, v, w, SJ, params,
+                                        n_iters, interpret, force_ty)
     if interpret:
         # the interpreter does not expose aliased writes across grid
         # programs; emulate with per-phase calls (psi in XLA, halfsweeps
@@ -549,6 +818,141 @@ def halfsweep_pallas_psi(du, dv, dw, u, v, w, psi, SJ, params, red_phase,
     return tuple(f[:p, :m0, :n0] for f in out)
 
 
+# ---------------------------------------------------------------------------
+# (z, y)-tiled fused kernels. Full-resolution levels (512^2 planes at
+# min_level 0) exceed VMEM with whole-plane slabs; these variants tile y as
+# well, with one-row logical halos in z and y. In-place halo reads are safe
+# for the same reason the z-slab scheme is: a half-sweep only READS
+# opposite-parity neighbors, which it never writes, and TPU grid programs
+# execute sequentially. HBM arrays carry 8 leading/trailing pad rows in y
+# (global y row g lives at padded g+8) so every DMA window stays 8-aligned
+# on the sublane dim. ``phase_base`` statically offsets the phase program id
+# so interpret/parity runs can execute one half-sweep per call (grid phase
+# extent 1) with numerics identical to the fused multi-phase grid.
+
+
+def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
+                     base_ref, sj_ref, out_ref, vmem_duvw, vmem_base,
+                     vmem_sj, vmem_out, sem_in, sem_out):
+    phase = pl.program_id(1) + phase_base
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    sz = vmem_out.shape[1]
+    n = vmem_out.shape[3]
+    TY = ty + 16
+    ax = params_ref[0]
+    ay = params_ref[1]
+    az = params_ref[2]
+
+    d1 = pltpu.make_async_copy(
+        duvw_ref.at[:, pl.ds(i * sz, sz + 2), pl.ds(j * ty, TY)],
+        vmem_duvw, sem_in.at[0])
+    d2 = pltpu.make_async_copy(
+        base_ref.at[:, pl.ds(i * sz, sz + 2), pl.ds(j * ty, TY)],
+        vmem_base, sem_in.at[1])
+    d3 = pltpu.make_async_copy(
+        sj_ref.at[:, pl.ds(i * sz + 1, sz), pl.ds(j * ty + 8, ty)],
+        vmem_sj, sem_in.at[2])
+    d1.start()
+    d2.start()
+    d3.start()
+    d1.wait()
+    d2.wait()
+    d3.wait()
+
+    def C(f):
+        return f[1:sz + 1, 8:8 + ty]
+
+    du = vmem_duvw[0]
+    dv = vmem_duvw[1]
+    dw = vmem_duvw[2]
+    u = vmem_base[0]
+    v = vmem_base[1]
+    w = vmem_base[2]
+    (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
+        vmem_sj[k] for k in range(_N_SLAB)]
+
+    duC = C(du)
+    dvC = C(dv)
+    dwC = C(dw)
+
+    zg = (jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 0) + i * sz + 1)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 1) + j * ty
+    xg = jax.lax.broadcasted_iota(jnp.int32, (sz, ty, n), 2)
+    mask = ((zg + yg + xg) % 2 == phase)
+    mask = mask & ((zg <= p_int)
+                   & (yg >= 1) & (yg <= m0 - 2)
+                   & (xg >= 1) & (xg <= n0 - 2))
+
+    sw_sum = 2.0 * (ax + ay + az)
+
+    def shifted_sums(base, inc):
+        # Neumann ghosts: ghost tot = base_ghost + inc_center (same scheme
+        # as _sweep_kernel); y/z neighbors come from halo slices instead of
+        # rolls so they cross tile boundaries correctly
+        tot = base + inc
+        totC = C(tot)
+        baseC = C(base)
+        incC = C(inc)
+        xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
+                       pltpu.roll(totC, 1, 2))
+        xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
+                       pltpu.roll(totC, n - 1, 2))
+        ym = jnp.where(yg == 1, base[1:sz + 1, 7:7 + ty] + incC,
+                       tot[1:sz + 1, 7:7 + ty])
+        yp = jnp.where(yg == m0 - 2, base[1:sz + 1, 9:9 + ty] + incC,
+                       tot[1:sz + 1, 9:9 + ty])
+        zm = jnp.where(zg == 1, base[0:sz, 8:8 + ty] + incC,
+                       tot[0:sz, 8:8 + ty])
+        zp = jnp.where(zg == p_int, base[2:sz + 2, 8:8 + ty] + incC,
+                       tot[2:sz + 2, 8:8 + ty])
+        return (ax * (xm + xp - 2.0 * baseC)
+                + ay * (ym + yp - 2.0 * baseC)
+                + az * (zm + zp - 2.0 * baseC))
+
+    nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
+    nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
+    nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+
+    new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
+    new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
+    new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+
+    vmem_out[0] = jnp.where(mask, new_du, duC)
+    vmem_out[1] = jnp.where(mask, new_dv, dvC)
+    vmem_out[2] = jnp.where(mask, new_dw, dwC)
+
+    out_dma = pltpu.make_async_copy(
+        vmem_out,
+        out_ref.at[:, pl.ds(i * sz + 1, sz), pl.ds(j * ty + 8, ty)],
+        sem_out.at[0])
+    out_dma.start()
+    out_dma.wait()
+
+
+def _bytes_ty(sz, ty, n):
+    """VMEM bytes of the y-tiled a_smooth=1 kernel's scratch buffers."""
+    return 4 * n * (6 * (sz + 2) * (ty + 16) + 12 * sz * ty)
+
+
+def _pick_ty(p_int, m0, n, budget_bytes=10 * 2 ** 20):
+    """(sz, ty) for the y-tiled fused kernel under the VMEM budget."""
+    ty = 8
+    while ty * 2 < m0 and _bytes_ty(1, ty * 2, n) <= budget_bytes:
+        ty *= 2
+    sz = 1
+    while sz < p_int and _bytes_ty(sz + 1, ty, n) <= budget_bytes:
+        sz += 1
+    return min(sz, p_int), ty
+
+
+def _fits_whole_plane(m, n):
+    """Can the whole-plane (non-tiled) fused kernels hold a slab in VMEM?
+
+    The non-tiled kernels keep ~30-34 (m, n)-planes resident at sz=1."""
+    return m * n * 4 * 34 <= 14 * 2 ** 20
+
+
 def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
                   sj_ref, out_ref, vmem_duvw, vmem_base, vmem_sj, vmem_out,
                   sem_in, sem_out):
@@ -645,15 +1049,90 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
     out_dma.wait()
 
 
+def _sweep_iterations_ty(du, dv, dw, u, v, w, SJ, params, n_iters,
+                         interpret, force_ty):
+    """y-tiled variant of ``sweep_iterations_pallas`` (see _sweep_kernel_ty).
+
+    In interpret mode the fused multi-phase grid cannot run (the
+    interpreter does not propagate aliased writes across grid programs),
+    so each half-sweep executes as its own single-phase call — numerics
+    are identical to the compiled fused grid because within one half-sweep
+    every consumed halo value is opposite-parity and therefore unchanged.
+    """
+    p, m0, n0 = du.shape
+    p_int = p - 2
+    n = -(-n0 // 128) * 128
+    if force_ty is not None:
+        ty = force_ty
+    else:
+        _, ty = _pick_ty(p_int, m0, n)
+    sz = 1
+    while sz < p_int and _bytes_ty(sz + 1, ty, n) <= 10 * 2 ** 20:
+        sz += 1
+    n_slabs = -(-p_int // sz)
+    n_ty = -(-m0 // ty)
+    p_pad = n_slabs * sz + 2
+    M = n_ty * ty + 16
+
+    def padf(f):
+        return jnp.pad(f, ((0, 0), (0, p_pad - p), (8, M - 8 - m0),
+                           (0, n - n0)))
+
+    duvw = padf(jnp.stack([du, dv, dw]))
+    base = padf(jnp.stack([u, v, w]))
+    sj = padf(jnp.stack(list(SJ)))
+    params = jnp.asarray(params, du.dtype)
+
+    def call(state, phase_base, nph, k_iters):
+        kern = functools.partial(_sweep_kernel_ty, phase_base, p_int, m0,
+                                 n0, ty)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_iters, nph, n_slabs, n_ty),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, sz + 2, ty + 16, n), du.dtype),
+                pltpu.VMEM((3, sz + 2, ty + 16, n), du.dtype),
+                pltpu.VMEM((_N_SLAB, sz, ty, n), du.dtype),
+                pltpu.VMEM((3, sz, ty, n), du.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((3, p_pad, M, n), du.dtype),
+            input_output_aliases={1: 0},
+            interpret=interpret,
+        )(params, state, base, sj)
+
+    if interpret:
+        state = duvw
+        for _ in range(n_iters):
+            for ph in (0, 1):
+                state = call(state, ph, 1, 1)
+        out = state
+    else:
+        out = call(duvw, 0, 2, n_iters)
+    return tuple(out[k, :p, 8:8 + m0, :n0] for k in range(3))
+
+
 def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
-                            interpret=False):
+                            interpret=False, force_ty=None):
     """``n_iters`` full red-black iterations in ONE pallas_call.
 
     Ghost-cell (Neumann) handling is done in-kernel by clamping, so du/dv/dw
     boundary rows are NOT updated here — callers that need the ring must
     apply set_boundary afterwards (the pyramid's median/accumulate steps only
-    use the interior).
+    use the interior). Levels whose (m, n) planes exceed the whole-plane
+    VMEM budget (e.g. 512^2 at min_level 0) route to the y-tiled kernel;
+    ``force_ty`` pins a tile height for tests.
     """
+    if force_ty is not None or not _fits_whole_plane(
+            -(-du.shape[1] // 8) * 8, -(-du.shape[2] // 128) * 128):
+        return _sweep_iterations_ty(du, dv, dw, u, v, w, SJ, params,
+                                    n_iters, interpret, force_ty)
     if interpret:
         # the interpreter does not expose aliased writes across grid
         # programs, so emulate the fused grid with per-phase calls (same

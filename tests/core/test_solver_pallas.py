@@ -120,6 +120,62 @@ def test_asmooth_halfsweeps_match_numpy_oracle():
                                    atol=3e-5)
 
 
+@pytest.mark.parametrize("shape", [(9, 28, 16), (12, 24, 140)])
+def test_sweep_y_tiled_matches_whole_plane(shape):
+    """y-tiled fused kernel (force_ty, interpret) == whole-plane kernel.
+
+    The tiled path is what runs at full-resolution levels (512^2 planes at
+    min_level 0) where whole-plane slabs exceed VMEM; numerics must be
+    independent of the tile height. Non-multiple-of-ty m exercises the
+    partial last tile."""
+    from flowreg3d_tpu.core.solver_pallas import sweep_iterations_pallas
+
+    Jt, weight, u, v, w = _inputs(shape)
+    SJ = tuple(jnp.sum(weight * Jt[i], -1)
+               for i in (0, 1, 2, 4, 5, 6, 7, 8, 9))
+    params = jnp.asarray((1.5, 1.2, 1.1), jnp.float32)
+    du = jnp.zeros_like(u)
+    dv = jnp.zeros_like(u)
+    dw = jnp.zeros_like(u)
+    ref = sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, 2,
+                                  interpret=True)
+    got = sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, 2,
+                                  interpret=True, force_ty=8)
+    # ring rows are owned by the caller's set_boundary (the fused kernels
+    # leave them untouched; the emulation path refreshes them) — compare
+    # the post-boundary fields, which is what _solve consumes
+    from flowreg3d_tpu.core.solver import set_boundary_3d
+
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(set_boundary_3d(g)),
+                                   np.asarray(set_boundary_3d(r)),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(9, 28, 16)])
+def test_sweep_psi_y_tiled_matches_whole_plane(shape):
+    """y-tiled psi kernel (force_ty, interpret) == whole-plane psi kernel."""
+    from flowreg3d_tpu.core.solver_pallas import sweep_iterations_pallas_psi
+
+    Jt, weight, u, v, w = _inputs(shape)
+    SJ = tuple(jnp.sum(weight * Jt[i], -1)
+               for i in (0, 1, 2, 4, 5, 6, 7, 8, 9))
+    params = jnp.asarray((1.5, 1.2, 1.1, 0.5, 0.5, 0.5, 0.5), jnp.float32)
+    du = jnp.zeros_like(u)
+    dv = jnp.zeros_like(u)
+    dw = jnp.zeros_like(u)
+    ref = sweep_iterations_pallas_psi(du, dv, dw, u, v, w, SJ, params, 2,
+                                      interpret=True)
+    got = sweep_iterations_pallas_psi(du, dv, dw, u, v, w, SJ, params, 2,
+                                      interpret=True, force_ty=8)
+    from flowreg3d_tpu.core.solver import set_boundary_3d
+
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(set_boundary_3d(g)),
+                                   np.asarray(set_boundary_3d(r)),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("a_smooth", [0.5, 0.75])
 def test_solve_pallas_asmooth_interpret_matches_xla(a_smooth):
     """Flow-driven-diffusivity kernel path (interpret) == XLA path.
