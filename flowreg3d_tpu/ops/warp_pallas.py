@@ -32,11 +32,17 @@ semantics never depend on flow smoothness.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# bf16 matmul passes for the hi/lo-split contraction: 3 = ~1e-5 relative
+# error (default, scipy-parity), 2 = ~1.4e-3 but ~25% faster warp. Exposed
+# because registration outputs tolerate 1e-3 for some downstream uses.
+_PASSES = int(os.environ.get("FLOWREG3D_WARP_PASSES", "3"))
 
 from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 
@@ -57,6 +63,9 @@ _GEOMS = (
     (8, 24, 8, 16),
     (28, 48, 16, 24),
 )
+_env_g2 = os.environ.get("FLOWREG3D_WARP_GEOM2")
+if _env_g2:
+    _GEOMS = (_GEOMS[0], tuple(int(x) for x in _env_g2.split(",")))
 # x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
 # 128-aligned window instead of the full row. Worst-case slack for flow
 # deviation is WSUB - SUB - n_taps - 127 (alignment) ~= 125 voxels.
@@ -146,13 +155,18 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             wys = _w_taps(fy_ref[0, i, c0:c0 + S].reshape(1, S), order)
             wzs = _w_taps(fz_ref[0, i, c0:c0 + S].reshape(1, S), order)
 
-            At = wmat(W, S, x0, wxs)      # x-taps one-hot * weight
+            At = wmat(W, S, x0, wxs)  # x-taps one-hot * weight
             Ath, Atl = split(At)
 
             def contract(Fh, Fl, Dz, Dy, WZt, WYt):
                 Fh = Fh.reshape(Dz * Dy, W)
                 Fl = Fl.reshape(Dz * Dy, W)
-                G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+                if _PASSES >= 3:
+                    G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+                elif _PASSES == 2:
+                    G = bdot(Fh, Ath) + bdot(Fh, Atl)
+                else:
+                    G = bdot(Fh, Ath)
                 G = G.reshape(Dz, Dy, S)
                 t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
                 return (t1 * WZt).sum(axis=0)            # (S,)

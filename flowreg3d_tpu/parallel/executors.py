@@ -615,7 +615,8 @@ class SpatialExecutor3D(BaseExecutor3D):
     (parallel/spatial_pyramid.py — ring-matmul resizes, halo-exchange
     solver, halo-bounded warp). Falls back per frame to the exact
     single-device path when the flow exceeds the warp's z halo (the
-    kernel's validity flag). Scope: a_smooth == 1 configs.
+    kernel's validity flag). Supports both a_smooth regimes and
+    spatially-varying weight volumes.
     """
 
     name = "spatial"
@@ -639,23 +640,19 @@ class SpatialExecutor3D(BaseExecutor3D):
         (shape, n_channels, alpha, update_lag, iterations, min_level,
          levels, eta, a_smooth, a_data, const_assumption, dtype_name,
          _pl) = key
-        if float(a_smooth) != 1.0:
-            raise NotImplementedError(
-                "spatial executor supports a_smooth == 1 (the sharded "
-                "solver's scope)")
         kw = dict(alpha=alpha, update_lag=update_lag,
                   iterations=iterations, min_level=min_level,
                   levels=levels, eta=eta, a_data=np.asarray(a_data),
-                  const_assumption=const_assumption)
+                  const_assumption=const_assumption,
+                  a_smooth=float(a_smooth))
         if self.halo_w:
             kw["halo_w"] = self.halo_w
         if weight_vol.ndim == 4:
             flat = weight_vol.reshape(-1, weight_vol.shape[-1])
-            if not np.allclose(flat, flat[0]):
-                raise NotImplementedError(
-                    "spatial executor supports per-channel (not spatially "
-                    "varying) weights")
-            wvec = flat[0]
+            if np.allclose(flat, flat[0]):
+                wvec = flat[0]           # per-channel: replicate, not shard
+            else:
+                wvec = np.asarray(weight_vol)   # spatially varying volume
         else:
             wvec = None
 

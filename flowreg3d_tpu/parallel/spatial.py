@@ -7,9 +7,12 @@ volume plus the ten motion-tensor fields, and exchanges one-voxel halos
 with its mesh neighbors via ``lax.ppermute`` before every half-sweep —
 the honest 3D-stencil counterpart of context parallelism, riding ICI.
 
-Scope: the ``a_smooth == 1`` (constant diffusivity) system, matching the
-Pallas single-chip fast path. Numerics match core/solver.py's red-black
-sweep exactly up to f32 reduction order.
+Both smoothness regimes are supported: ``a_smooth == 1`` (constant
+diffusivity) exchanges one-voxel flow halos per half-sweep; ``a_smooth !=
+1`` additionally computes the flow-driven diffusivity field psi locally
+each iteration and exchanges its ghost rows (one extra ppermute pair per
+iteration). Numerics match core/solver.py's red-black sweep up to f32
+reduction order.
 """
 
 import jax
@@ -19,6 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 OMEGA = 1.95
 EPS_PSI = 1e-6
+EPS_SMOOTH = 1e-5
 
 
 def spatial_mesh(devices=None, axis="z"):
@@ -53,12 +57,66 @@ def _set_boundary_yx(f):
     return f
 
 
+def _psi_sharded(du, dv, dw, u, v, w, a_smooth, hx, hy, hz, axis_name,
+                 z_off, p_int):
+    """Flow-driven diffusivity psi on the local ringed block.
+
+    Matches core/solver._psi_smooth_field evaluated on the global ringed
+    grid: interior rows are exact from the local block (their z-neighbors
+    are present as exchanged ghosts); ghost rows then come from the
+    neighbors' exchange; global ring rows (ringed-grid row 0 / p_int+1 —
+    wherever they fall in a block, including past shard padding) are
+    computed locally with set_boundary emulation (ghost increment =
+    adjacent interior increment) and kept through the exchange.
+    """
+    pz2, m, n = du.shape
+    G = (jnp.arange(pz2) + z_off)[:, None, None]
+    p_e = p_int + 1
+    yg = jnp.arange(m)[None, :, None]
+    xg = jnp.arange(n)[None, None, :]
+
+    def inc_eff(inc):
+        up = jnp.roll(inc, -1, 0)    # inc[r+1]
+        dn = jnp.roll(inc, 1, 0)     # inc[r-1]
+        return jnp.where(G == 0, up, jnp.where(G >= p_e, dn, inc))
+
+    g2 = None
+    for base, inc in ((u, du), (v, dv), (w, dw)):
+        tot = base + inc_eff(inc)
+        tp = jnp.roll(tot, -1, 0)
+        tm = jnp.roll(tot, 1, 0)
+        gz = (jnp.where(G >= p_e, tot, tp)
+              - jnp.where(G == 0, tot, tm)) * (0.5 / hz)
+        tp = jnp.roll(tot, -1, 1)
+        tm = jnp.roll(tot, 1, 1)
+        gy = (jnp.where(yg == m - 1, tot, tp)
+              - jnp.where(yg == 0, tot, tm)) * (0.5 / hy)
+        tp = jnp.roll(tot, -1, 2)
+        tm = jnp.roll(tot, 1, 2)
+        gx = (jnp.where(xg == n - 1, tot, tp)
+              - jnp.where(xg == 0, tot, tm)) * (0.5 / hx)
+        d2 = gz * gz + gy * gy + gx * gx
+        g2 = d2 if g2 is None else g2 + d2
+    g2 = jnp.maximum(g2, 0.0)
+    psi = a_smooth * (g2 + EPS_SMOOTH) ** (a_smooth - 1.0)
+
+    psi_ex = _exchange_halo(psi, axis_name)
+    keep_top = z_off == 0
+    keep_bot = (z_off + pz2 - 1) >= p_e
+    top = jnp.where(keep_top, psi[0], psi_ex[0])
+    bot = jnp.where(keep_bot, psi[-1], psi_ex[-1])
+    return psi_ex.at[0].set(top).at[-1].set(bot)
+
+
 def _local_halfsweep(phase, z_off, p_int, du, dv, dw, u, v, w, SJ,
-                     ax, ay, az):
+                     ax, ay, az, psi=None):
     """Masked SOR update of the local block's interior rows (1..pz).
 
     The global Neumann z-faces are applied by clamping (a ghost z-neighbor
     equals the center), so rows padded past the true interior stay inert.
+    ``psi``: optional local ringed diffusivity block (a_smooth != 1); when
+    given, per-direction weights are 0.5*(psi_center + psi_neighbor)*a_dir
+    (reference core/level_solver_3d.py:262-311).
     """
     (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = SJ
     pz2, m, n = du.shape
@@ -76,7 +134,20 @@ def _local_halfsweep(phase, z_off, p_int, du, dv, dw, u, v, w, SJ,
     xg = jax.lax.broadcasted_iota(jnp.int32, (pz2 - 2, m - 2, n - 2), 2) + 1
     mask = (((zg + yg + xg) % 2) == phase) & (zg <= p_int)
 
-    sw_sum = 2.0 * (ax + ay + az)
+    if psi is None:
+        sw = None
+        sw_sum = 2.0 * (ax + ay + az)
+    else:
+        psiI = psi[I]
+        nbp = nbr(psi)
+        sw = dict(xm=0.5 * (psiI + nbp["xm"]) * ax,
+                  xp=0.5 * (psiI + nbp["xp"]) * ax,
+                  ym=0.5 * (psiI + nbp["ym"]) * ay,
+                  yp=0.5 * (psiI + nbp["yp"]) * ay,
+                  zm=0.5 * (psiI + nbp["zm"]) * az,
+                  zp=0.5 * (psiI + nbp["zp"]) * az)
+        sw_sum = (sw["xm"] + sw["xp"] + sw["ym"] + sw["yp"]
+                  + sw["zm"] + sw["zp"])
     duI, dvI, dwI = du[I], dv[I], dw[I]
     nu = -(SJ14[I] + SJ12[I] * dvI + SJ13[I] * dwI)
     nv = -(SJ24[I] + SJ12[I] * duI + SJ23[I] * dwI)
@@ -93,10 +164,19 @@ def _local_halfsweep(phase, z_off, p_int, du, dv, dw, u, v, w, SJ,
         zm = jnp.where(zg == 1, nb_base["zm"] + incI, nb["zm"])
         zp = jnp.where(zg == p_int, nb_base["zp"] + incI, nb["zp"])
         baseI = base[I]
-        num = (nd
-               + ax * (nb["xm"] + nb["xp"] - 2 * baseI)
-               + ay * (nb["ym"] + nb["yp"] - 2 * baseI)
-               + az * (zm + zp - 2 * baseI))
+        if psi is None:
+            num = (nd
+                   + ax * (nb["xm"] + nb["xp"] - 2 * baseI)
+                   + ay * (nb["ym"] + nb["yp"] - 2 * baseI)
+                   + az * (zm + zp - 2 * baseI))
+        else:
+            num = (nd
+                   + sw["xm"] * (nb["xm"] - baseI)
+                   + sw["xp"] * (nb["xp"] - baseI)
+                   + sw["ym"] * (nb["ym"] - baseI)
+                   + sw["yp"] * (nb["yp"] - baseI)
+                   + sw["zm"] * (zm - baseI)
+                   + sw["zp"] * (zp - baseI))
         den = dd[I] + sw_sum
         new = (1.0 - OMEGA) * old + OMEGA * num / den
         return jnp.where(mask, new, old)
@@ -111,7 +191,8 @@ def _local_halfsweep(phase, z_off, p_int, du, dv, dw, u, v, w, SJ,
 
 
 def _sharded_solve_body(Jt_local, weight_local, u_l, v_l, w_l, alpha, a_data,
-                        iterations, update_lag, axis_name, pz, h, p_int):
+                        iterations, update_lag, axis_name, pz, h, p_int,
+                        a_smooth=1.0):
     """Runs inside shard_map: local blocks carry one ghost row on each side."""
     dtype = u_l.dtype
     _, pz2, m, n, C = Jt_local.shape
@@ -152,16 +233,23 @@ def _sharded_solve_body(Jt_local, weight_local, u_l, v_l, w_l, alpha, a_data,
 
     SJ0 = tick(du, dv, dw)
 
+    a_smooth_is_one = float(a_smooth) == 1.0
+
     def body(it, state):
         du, dv, dw, SJ = state
         SJ = jax.lax.cond(jnp.mod(it, update_lag) == 0,
                           lambda _: tick(du, dv, dw), lambda s: s, SJ)
         du, dv, dw = exchange(du, dv, dw)
+        # psi evaluated before the red half and reused for black, matching
+        # core/solver's per-iteration smooth_weights
+        psi = (None if a_smooth_is_one else _psi_sharded(
+            du, dv, dw, u_l, v_l, w_l, a_smooth, hx, hy, hz, axis_name,
+            z_off, p_int))
         du, dv, dw = _local_halfsweep(0, z_off, p_int, du, dv, dw,
-                                      u_l, v_l, w_l, SJ, ax, ay, az)
+                                      u_l, v_l, w_l, SJ, ax, ay, az, psi)
         du, dv, dw = exchange(du, dv, dw)
         du, dv, dw = _local_halfsweep(1, z_off, p_int, du, dv, dw,
-                                      u_l, v_l, w_l, SJ, ax, ay, az)
+                                      u_l, v_l, w_l, SJ, ax, ay, az, psi)
         return du, dv, dw, SJ
 
     du, dv, dw, _ = jax.lax.fori_loop(0, iterations, body, (du, dv, dw, SJ0))
@@ -171,8 +259,8 @@ def _sharded_solve_body(Jt_local, weight_local, u_l, v_l, w_l, alpha, a_data,
 
 def compute_flow_level_sharded(J_entries, weight, u, v, w, alpha, iterations,
                                update_lag, a_data, hx=1.0, hy=1.0, hz=1.0,
-                               mesh=None, axis="z"):
-    """Z-sharded level solve (a_smooth == 1).
+                               mesh=None, axis="z", a_smooth=1.0):
+    """Z-sharded level solve (both a_smooth regimes).
 
     Same contract as core.solver.compute_flow_level: J_entries is the
     10-tuple (p, m, n, C) [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34] on
@@ -226,7 +314,8 @@ def compute_flow_level_sharded(J_entries, weight, u, v, w, alpha, iterations,
         lambda Jt_l, w_l, u_l, v_l, w3_l, al, ad: tuple(
             x[None] for x in _sharded_solve_body(
                 Jt_l[0], w_l[0], u_l[0], v_l[0], w3_l[0], al, ad,
-                int(iterations), int(update_lag), axis, pz, h, p_int)),
+                int(iterations), int(update_lag), axis, pz, h, p_int,
+                float(a_smooth))),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),

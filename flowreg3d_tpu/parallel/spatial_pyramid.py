@@ -19,8 +19,9 @@ a volume exceeding one chip's HBM runs end-to-end. Design:
   (the only approximation-bounded stage; microscopy z-drifts are a few
   planes).
 
-Scope: a_smooth == 1 (the sharded solver's scope, matching the Pallas
-single-chip fast path). Parity: numerics match core/pyramid.py's
+Both a_smooth regimes are supported (flow-driven diffusivity adds one psi
+halo exchange per solver iteration — parallel/spatial._psi_sharded), and
+weights may be spatially varying. Parity: numerics match core/pyramid.py's
 ``get_displacement`` to f32 reduction order (tested rtol ~1e-4 on the
 virtual CPU mesh).
 """
@@ -212,7 +213,8 @@ def _prefilter_yx(x):
 
 def _build_sharded_pyramid(shape, n_channels, n_dev, axis_name, alpha,
                            update_lag, iterations, min_level, levels, eta,
-                           a_data, const_assumption, dtype, halo, halo_w):
+                           a_data, const_assumption, dtype, halo, halo_w,
+                           a_smooth=1.0):
     """Returns the shard_map body fn(fixed_l, moving_l, uvw_l, weight_l)."""
     Z, Y, X = shape
     plan, eff_min_level, _ = level_schedule(shape, eta, levels, min_level)
@@ -362,11 +364,11 @@ def _build_sharded_pyramid(shape, n_channels, n_dev, axis_name, alpha,
                 du, dv, dw = _solve_sharded_local(
                     J_entries, wt_r, ub, vb, wb, alpha_l, iterations,
                     update_lag, a_data_arr, hx, hy, hz, axis_name,
-                    pz_l, size[0])
+                    pz_l, size[0], a_smooth)
             else:
                 du, dv, dw = compute_flow_level(
                     J_entries, wt_r, ub, vb, wb, alpha_l, iterations,
-                    update_lag, a_data_arr, 1.0, hx, hy, hz,
+                    update_lag, a_data_arr, a_smooth, hx, hy, hz,
                     use_pallas=False)
                 du, dv, dw = (x[1:-1, 1:-1, 1:-1] for x in (du, dv, dw))
 
@@ -399,7 +401,7 @@ def _build_sharded_pyramid(shape, n_channels, n_dev, axis_name, alpha,
 
 def _solve_sharded_local(J_entries, weight_r, ub, vb, wb, alpha, iterations,
                          update_lag, a_data, hx, hy, hz, axis_name, pz_l,
-                         z_total):
+                         z_total, a_smooth=1.0):
     """Sharded SOR solve from inside the pyramid body.
 
     J_entries already carry local ghost rows ([own-1, own+pz+1)); u/v/w are
@@ -463,16 +465,23 @@ def _solve_sharded_local(J_entries, weight_r, ub, vb, wb, alpha, iterations,
 
     SJ0 = tick(du, dv, dw)
 
+    from flowreg3d_tpu.parallel.spatial import _psi_sharded
+
+    a_smooth_is_one = float(a_smooth) == 1.0
+
     def body(it, state):
         du, dv, dw, SJ = state
         SJ = jax.lax.cond(jnp.mod(it, update_lag) == 0,
                           lambda _: tick(du, dv, dw), lambda s: s, SJ)
         du, dv, dw = exchange(du, dv, dw)
+        psi = (None if a_smooth_is_one else _psi_sharded(
+            du, dv, dw, ub, vb, wb, a_smooth, hx, hy, hz, axis_name,
+            z_off, p_int))
         du, dv, dw = _local_halfsweep(0, z_off, p_int, du, dv, dw,
-                                      ub, vb, wb, SJ, ax, ay, az)
+                                      ub, vb, wb, SJ, ax, ay, az, psi)
         du, dv, dw = exchange(du, dv, dw)
         du, dv, dw = _local_halfsweep(1, z_off, p_int, du, dv, dw,
-                                      ub, vb, wb, SJ, ax, ay, az)
+                                      ub, vb, wb, SJ, ax, ay, az, psi)
         return du, dv, dw, SJ
 
     du, dv, dw, _ = jax.lax.fori_loop(0, int(iterations), body,
@@ -497,11 +506,14 @@ def get_displacement_sharded(fixed, moving, mesh=None, axis="z",
                              iterations=20, min_level=0, levels=50, eta=0.8,
                              a_data=0.45, const_assumption="gc", uvw=None,
                              weight=None, halo=_DEF_HALO,
-                             halo_w=_DEF_HALO_W, dtype=jnp.float32):
-    """Z-sharded drop-in for ``get_displacement`` (a_smooth == 1 scope).
+                             halo_w=_DEF_HALO_W, dtype=jnp.float32,
+                             a_smooth=1.0):
+    """Z-sharded drop-in for ``get_displacement`` (both a_smooth regimes).
 
-    Returns (flow (Z,Y,X,3), valid) where ``valid`` is False when any level
-    warp needed z-samples beyond the ``halo_w`` window (fall back to the
+    ``weight`` may be a per-channel vector (C,) or a full spatially-varying
+    volume (Z, Y, X, C) — the latter is z-sharded with the inputs. Returns
+    (flow (Z,Y,X,3), valid) where ``valid`` is False when any level warp
+    needed z-samples beyond the ``halo_w`` window (fall back to the
     single-device path in that case).
     """
     from jax.experimental.shard_map import shard_map
@@ -519,8 +531,10 @@ def get_displacement_sharded(fixed, moving, mesh=None, axis="z",
     if weight is None:
         weight = jnp.ones((Z, Y, X, C), dtype) / C
     else:
-        weight = jnp.broadcast_to(
-            jnp.asarray(weight, dtype).reshape(1, 1, 1, C), (Z, Y, X, C))
+        weight = jnp.asarray(weight, dtype)
+        if weight.ndim == 1:
+            weight = jnp.broadcast_to(
+                weight.reshape(1, 1, 1, C), (Z, Y, X, C))
 
     pz_in = -(-Z // n_dev)
     padz = pz_in * n_dev - Z
@@ -532,7 +546,8 @@ def get_displacement_sharded(fixed, moving, mesh=None, axis="z",
     body = _build_sharded_pyramid(
         (Z, Y, X), C, n_dev, axis, tuple(float(a) for a in alpha),
         int(update_lag), int(iterations), int(min_level), int(levels),
-        float(eta), a_data, const_assumption, dtype, int(halo), int(halo_w))
+        float(eta), a_data, const_assumption, dtype, int(halo), int(halo_w),
+        float(a_smooth))
 
     fn = shard_map(
         body, mesh=mesh,

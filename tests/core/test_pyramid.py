@@ -18,6 +18,10 @@ from flowreg3d_tpu.motion_generation import (
 )
 
 
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 def _cell_volume(rng, shape=(32, 48, 48), n_blobs=40):
     """Smooth random blob volume resembling fluorescence data."""
     p, m, n = shape

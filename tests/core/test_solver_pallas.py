@@ -10,6 +10,9 @@ from flowreg3d_tpu.core.solver_pallas import halfsweep_pallas
 
 from tests.core.oracle import sor_redblack_oracle
 
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 
 def _inputs(shape=(10, 14, 18), C=1, seed=0):
     rng = np.random.default_rng(seed)

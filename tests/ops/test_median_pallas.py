@@ -10,6 +10,10 @@ from flowreg3d_tpu.ops.median_pallas import (_median_network,
                                              median_filter_5x5x5_pallas)
 
 
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 def test_network_sorts():
     rng = np.random.default_rng(0)
     v = rng.random(128)

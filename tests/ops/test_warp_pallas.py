@@ -12,6 +12,9 @@ from flowreg3d_tpu.ops import warp as W
 from flowreg3d_tpu.ops.warp_pallas import (
     _windows_1d, map_coordinates_windowed, windowed_ok)
 
+# heavy tier: interpret-mode Pallas kernels (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 
 def _grids(shape, u, v, w):
     Z, Y, X = shape

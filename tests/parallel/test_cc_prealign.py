@@ -21,6 +21,9 @@ from flowreg3d_tpu.parallel.executors import (
 )
 from flowreg3d_tpu.util.xcorr_prealignment import estimate_rigid_xcorr_3d
 
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 
 def _blobby(shape, seed=0):
     rng = np.random.default_rng(seed)

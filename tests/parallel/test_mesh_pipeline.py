@@ -19,6 +19,10 @@ from flowreg3d_tpu.pipeline.corrector import (BatchMotionCorrector,
                                               compensate_recording)
 
 
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 def _video(T=11, Z=6, Y=16, X=16, C=1, seed=0):
     rng = np.random.default_rng(seed)
     from scipy.ndimage import gaussian_filter

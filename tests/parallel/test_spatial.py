@@ -12,6 +12,10 @@ from flowreg3d_tpu.parallel.spatial import (
 )
 
 
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 def _problem(shape=(26, 20, 24), C=1, seed=0):
     rng = np.random.default_rng(seed)
     p, m, n = shape

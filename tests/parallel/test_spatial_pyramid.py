@@ -14,6 +14,10 @@ from scipy.ndimage import gaussian_filter
 from flowreg3d_tpu.core.pyramid import get_displacement
 from flowreg3d_tpu.parallel.spatial import spatial_mesh
 from flowreg3d_tpu.parallel.spatial_pyramid import get_displacement_sharded
+import pytest
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
 
 # levels=2 keeps the shard_map compile ~5 min (each level adds ring-matmul
 # loops; levels=3 compiles ~15 min on the CPU backend)
@@ -50,6 +54,25 @@ def test_sharded_pyramid_matches_single_device():
     # reassociation (resize axis order, stencil grouping) amplified by the
     # omega=1.95 SOR through 3 nonlinear levels, not a sharding artifact
     # (mean |diff| is ~3e-5)
+    diff = np.abs(np.asarray(flow) - ref)
+    assert diff.mean() < 2e-4, diff.mean()
+    np.testing.assert_allclose(np.asarray(flow), ref, rtol=6e-3, atol=6e-3)
+
+
+def test_sharded_pyramid_asmooth_varying_weight():
+    """a_smooth != 1 (flow-driven diffusivity, psi halo exchange) plus a
+    spatially-varying weight volume, vs the single-device pyramid. One
+    combined config keeps this to a single shard_map compile."""
+    fixed, moving = _pair(SHAPE, seed=3)
+    rng = np.random.default_rng(7)
+    wvol = (0.5 + rng.random(SHAPE + (1,))).astype(np.float32)
+    mesh = spatial_mesh(jax.devices()[:N_DEV])
+
+    ref = np.asarray(get_displacement(
+        fixed, moving, a_smooth=0.5, weight=wvol, **PARAMS))
+    flow, valid = get_displacement_sharded(
+        fixed, moving, mesh=mesh, a_smooth=0.5, weight=wvol, **PARAMS)
+    assert bool(valid)
     diff = np.abs(np.asarray(flow) - ref)
     assert diff.mean() < 2e-4, diff.mean()
     np.testing.assert_allclose(np.asarray(flow), ref, rtol=6e-3, atol=6e-3)

@@ -14,6 +14,9 @@ from flowreg3d_tpu.pipeline import (
 
 from tests.pipeline.conftest import fast_options
 
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 
 def test_cc_initialization_path(video5d, base_volume):
     """The 6-step rigid-prealignment pipeline (reference

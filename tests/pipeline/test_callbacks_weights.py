@@ -5,6 +5,10 @@ import numpy as np
 from flowreg3d_tpu.pipeline import compensate_arr
 
 from tests.pipeline.conftest import fast_options
+import pytest
+
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
 
 
 def test_multiple_progress_callbacks(video5d, base_volume):

@@ -17,6 +17,10 @@ from flowreg3d_tpu.runtime import (RuntimeContext, get_flow_backend,
                                    list_flow_backends)
 
 
+# heavy tier: full-pipeline jit compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture
 def pair():
     rng = np.random.default_rng(0)

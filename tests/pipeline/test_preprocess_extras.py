@@ -12,6 +12,9 @@ from flowreg3d_tpu.pipeline import compensate_arr
 
 from tests.pipeline.conftest import fast_options
 
+# heavy tier: interpret-mode Pallas / shard_map compiles (minutes on 1 CPU)
+pytestmark = pytest.mark.slow
+
 
 def test_channel_idx_selects_channels(video5d, base_volume):
     video2c = np.concatenate([video5d, video5d * 0.1], axis=-1)
