@@ -27,8 +27,11 @@ def get_video_file_reader(input_source, buffer_size=10, bin_size=1, **kwargs):
 
     path = Path(input_source)
     if path.is_dir():
-        raise NotImplementedError(
-            "3D image folder reading not implemented; use TIFF/HDF5 stacks.")
+        # beyond reference parity: the reference raises NotImplementedError
+        # here (factory.py:61-65); we read sorted per-timepoint volumes
+        from flowreg3d_tpu.io.multifile import FolderReader3D
+
+        return FolderReader3D(str(path), buffer_size, bin_size, **kwargs)
     if not path.exists():
         raise FileNotFoundError(f"File not found: {input_source}")
 

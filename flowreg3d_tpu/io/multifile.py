@@ -90,6 +90,93 @@ class MULTICHANNELFileReader3D(VideoReader3D):
             r.close()
 
 
+def _natural_key(name):
+    """Numeric-aware sort key: vol_2 < vol_10."""
+    import re
+
+    return [int(t) if t.isdigit() else t.lower()
+            for t in re.split(r"(\d+)", name)]
+
+
+class FolderReader3D(VideoReader3D):
+    """A directory of volume files presented as one time series.
+
+    Files with a supported extension (.tif/.tiff/.h5/.hdf5/.hdf/.mat) are
+    naturally sorted (vol_2 before vol_10) and concatenated along T; each
+    file may hold one or more timepoints. All files must agree on
+    (Z, Y, X, C). The reference leaves folder input unimplemented
+    (factory.py:61-65 raises NotImplementedError); this reader goes
+    beyond parity because per-timepoint files are a common microscope
+    export layout.
+    """
+
+    _EXTS = (".tif", ".tiff", ".h5", ".hdf5", ".hdf", ".mat")
+
+    def __init__(self, folder, buffer_size=10, bin_size=1, **kwargs):
+        super().__init__()
+        self.folder = str(folder)
+        self.buffer_size = buffer_size
+        self.bin_size = bin_size
+        self._reader_kwargs = kwargs
+        names = [n for n in os.listdir(self.folder)
+                 if os.path.splitext(n)[1].lower() in self._EXTS]
+        exts = {os.path.splitext(n)[1].lower() for n in names}
+        exts = {".tif" if e == ".tiff" else e for e in exts}
+        exts = {".h5" if e in (".hdf5", ".hdf") else e for e in exts}
+        if not names:
+            raise FileNotFoundError(
+                f"No supported volume files (.tif/.h5/.mat) in {folder}")
+        if len(exts) > 1:
+            raise ValueError(
+                f"Mixed file formats in folder {folder}: {sorted(exts)}")
+        self.paths = [os.path.join(self.folder, n)
+                      for n in sorted(names, key=_natural_key)]
+        self.readers = None
+
+    def _initialize(self):
+        from flowreg3d_tpu.io.factory import get_video_file_reader
+
+        self.readers = [
+            get_video_file_reader(p, self.buffer_size, bin_size=1,
+                                  **self._reader_kwargs)
+            for p in self.paths
+        ]
+        for r in self.readers:
+            r._ensure_initialized()
+        shapes = {(r.depth, r.height, r.width, r.n_channels)
+                  for r in self.readers}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"Folder files disagree on volume shape: {sorted(shapes)}")
+        counts = [r.frame_count for r in self.readers]
+        self._starts = np.concatenate([[0], np.cumsum(counts)])
+        self.frame_count = int(self._starts[-1])
+        first = self.readers[0]
+        self.depth = first.depth
+        self.height = first.height
+        self.width = first.width
+        self.n_channels = first.n_channels
+        self.dtype = first.dtype
+
+    def _read_raw_frames(self, frame_indices):
+        if isinstance(frame_indices, slice):
+            frame_indices = range(*frame_indices.indices(self.frame_count))
+        idx = np.asarray(list(frame_indices), dtype=np.int64)
+        out = [None] * len(idx)
+        # group by source file so each file is touched once per request
+        owner = np.searchsorted(self._starts, idx, side="right") - 1
+        for f in np.unique(owner):
+            local = idx[owner == f] - self._starts[f]
+            frames = self.readers[f]._read_raw_frames(list(local))
+            for slot, frame in zip(np.flatnonzero(owner == f), frames):
+                out[slot] = frame
+        return np.stack(out)
+
+    def close(self):
+        for r in self.readers or ():
+            r.close()
+
+
 class SUBSETFileReader3D(VideoReader3D):
     """Presents a subset of another reader's (binned) frames as a stream."""
 

@@ -193,6 +193,36 @@ def test_multifile_writer_and_multichannel_reader(tmp_path, video):
     r.close()
 
 
+def test_folder_reader(tmp_path, video):
+    """A directory of per-timepoint files reads as one natural-sorted series.
+
+    Goes beyond the reference, which raises NotImplementedError for folder
+    input (factory.py:61-65).
+    """
+    folder = tmp_path / "vols"
+    folder.mkdir()
+    # write 7 timepoints across 3 files with names that would mis-sort
+    # lexicographically (vol_10 < vol_2): natural order must win
+    splits = [(0, 2, "vol_2.h5"), (2, 5, "vol_10.h5"), (5, 7, "vol_100.h5")]
+    for a, b, name in splits:
+        w = get_video_file_writer(str(folder / name), "HDF5")
+        w.write_frames(video[a:b])
+        w.close()
+    (folder / "notes.txt").write_text("ignored")
+
+    r = get_video_file_reader(str(folder), buffer_size=3, bin_size=1)
+    assert r.shape == video.shape
+    np.testing.assert_array_equal(r[:], video)
+    # random access crossing file boundaries, grouped per source file
+    np.testing.assert_array_equal(r[[1, 4, 6]], video[[1, 4, 6]])
+    r.close()
+
+    # mixed formats in one folder are rejected
+    (folder / "stray.tif").write_bytes(b"II*\x00")
+    with pytest.raises(ValueError, match="Mixed"):
+        get_video_file_reader(str(folder))
+
+
 def test_subset_reader(video):
     base = ArrayReader3D(video)
     sub = SUBSETFileReader3D(base, [1, 3, 5])
