@@ -82,17 +82,31 @@ def _jit_warp_single(interp):
 
 @lru_cache(maxsize=16)
 def _jit_flow_chunk(config_key):
-    # Pallas kernels don't lower under a vmap batch dim -> force XLA solver
-    config_key = config_key[:-1] + (False,)
+    # lax.map over the UNBATCHED single-frame program: one dispatch per
+    # chunk with the Pallas solver still on its fast path. (vmap would
+    # force slow batched gathers and an XLA solver fallback — Pallas
+    # kernels don't lower under a vmap batch dim.)
     pyramid = build_pyramid_raw(*config_key)
-    return jax.jit(jax.vmap(pyramid, in_axes=(None, 0, 0, None)))
+
+    def chunk(ref_proc, batch_proc, uvw, weight):
+        return jax.lax.map(
+            lambda a: pyramid(ref_proc, a[0], a[1], weight),
+            (batch_proc, uvw))
+
+    return jax.jit(chunk)
 
 
 @lru_cache(maxsize=16)
 def _jit_warp_chunk(interp):
-    # Pallas (windowed warp) doesn't lower under a vmap batch dim
-    return jax.jit(jax.vmap(_warp_fn(interp, use_pallas=False),
-                            in_axes=(0, 0, None)))
+    # lax.map keeps the Pallas windowed warp available per frame (it does
+    # not lower under a vmap batch dim)
+    warp = _warp_fn(interp)
+
+    def chunk(batch_raw, flows, ref_raw):
+        return jax.lax.map(lambda a: warp(a[0], a[1], ref_raw),
+                           (batch_raw, flows))
+
+    return jax.jit(chunk)
 
 
 def _config_key(reference_proc, flow_params, dtype=jnp.float32):
@@ -377,10 +391,15 @@ def _jit_prealign_single(cc_hw, cc_up, has_wvec):
 
 @lru_cache(maxsize=8)
 def _jit_prealign_chunk(cc_hw, cc_up, has_wvec):
-    # Pallas paths don't lower under a vmap batch dim
-    return jax.jit(jax.vmap(
-        _prealign_traced(cc_hw, cc_up, has_wvec, use_pallas=False),
-        in_axes=(0, None, None, None)))
+    # lax.map keeps per-frame Pallas paths (vmap would force them off)
+    prealign = _prealign_traced(cc_hw, cc_up, has_wvec)
+
+    def chunk(batch_proc, ref_proc, w_init, weight_vec):
+        return jax.lax.map(
+            lambda f: prealign(f, ref_proc, w_init, weight_vec),
+            batch_proc)
+
+    return jax.jit(chunk)
 
 
 class SequentialExecutor3D(BaseExecutor3D):
@@ -416,13 +435,18 @@ class SequentialExecutor3D(BaseExecutor3D):
 
 
 class BatchedExecutor3D(BaseExecutor3D):
-    """vmap over frame chunks on one device; chunk size HBM-auto-tuned."""
+    """lax.map over frame chunks on one device; chunk size HBM-auto-tuned.
+
+    One dispatch covers a whole chunk while each frame still runs the
+    UNBATCHED single-frame program — the Pallas solver and windowed warp
+    stay on their fast paths (unlike vmap, which forces slow batched
+    gathers and an XLA solver fallback). Pays off when per-frame device
+    time is comparable to per-dispatch host latency (small/medium
+    volumes); large volumes auto-degrade to the sequential streaming loop
+    via the voxel budget."""
 
     name = "batched"
 
-    # vmap batching pays off only for small volumes: batched gathers hit
-    # XLA's slow path and the Pallas solver must fall back to XLA, so large
-    # volumes run the single-frame compiled program frame by frame
     def __init__(self, n_workers=None, chunk=None, voxel_budget=2.0e7,
                  **kwargs):
         super().__init__(n_workers=n_workers, **kwargs)
