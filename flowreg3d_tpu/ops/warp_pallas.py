@@ -43,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 # error (default, scipy-parity), 2 = ~1.4e-3 but ~25% faster warp. Exposed
 # because registration outputs tolerate 1e-3 for some downstream uses.
 _PASSES = int(os.environ.get("FLOWREG3D_WARP_PASSES", "3"))
+# stack the hi/lo F blocks into one matmul against the shared Ath operand
+# (the hi/lo axis is the major dim of the VMEM window, so the stack is a
+# free reshape): 2 matmul calls instead of 3 at the same row-work.
+# Default on — measured 198.7 vs 206.6 ms on the canonical 512x512x64
+# converged flow (v5e, 2026-08-17), outputs identical to 9e-8.
+_STACKED = os.environ.get("FLOWREG3D_WARP_STACK", "1") == "1"
 
 from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 
@@ -57,11 +63,17 @@ _LPG = 8   # output x-lines per grid program (one z, 8 consecutive y)
 # whose span misses (Dzl, Dyl) falls back IN-KERNEL to contracting the
 # full (Dzg, Dyg) group window (compiled once per tier, taken by ~2% of
 # chunks), and the lax.cond tier gate depends only on the group windows
-# fitting. Two tiers: smooth flows (cheap DMA envelope) and rough solver
-# flows (wide group envelope, small common-case compute window).
+# fitting. Three tiers: smooth flows (cheap DMA envelope), rough solver
+# flows (wide group envelope, small common-case compute window), and a
+# max-envelope tier for boundary-heavy flows — measured on the canonical
+# bench stream, 4 of 10 chained steps carry group z-spans of 29-35 /
+# y-spans to 52 (synthetic roll wraps content at the volume edges), which
+# bust (28, 48) and used to pay the ~100 ms/step row-gather fallback.
+# (40, 56) double-buffered is ~11.5 MB of the ~16 MB VMEM.
 _GEOMS = (
     (8, 24, 8, 16),
     (28, 48, 16, 24),
+    (40, 56, 16, 24),
 )
 _env_g2 = os.environ.get("FLOWREG3D_WARP_GEOM2")
 if _env_g2:
@@ -69,8 +81,8 @@ if _env_g2:
 # x-subwindows: each SUB-sized output chunk contracts against a WSUB-wide
 # 128-aligned window instead of the full row. Worst-case slack for flow
 # deviation is WSUB - SUB - n_taps - 127 (alignment) ~= 125 voxels.
-_SUB = 128
-_WSUB = 384
+_SUB = int(os.environ.get("FLOWREG3D_WARP_SUB", "128"))
+_WSUB = _SUB + 256
 # VMEM guard: At is (Xp, S) f32 per line-sub; group window is bf16 hi+lo
 _MAX_X = 1280
 
@@ -158,23 +170,29 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             At = wmat(W, S, x0, wxs)  # x-taps one-hot * weight
             Ath, Atl = split(At)
 
-            def contract(Fh, Fl, Dz, Dy, WZt, WYt):
-                Fh = Fh.reshape(Dz * Dy, W)
-                Fl = Fl.reshape(Dz * Dy, W)
-                if _PASSES >= 3:
-                    G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
-                elif _PASSES == 2:
-                    G = bdot(Fh, Ath) + bdot(Fh, Atl)
+            def contract(Fb, Dz, Dy, WZt, WYt):
+                # Fb: (2, Dz, Dy, W) hi/lo window slice
+                R = Dz * Dy
+                if _STACKED and _PASSES >= 3:
+                    A = bdot(Fb.reshape(2 * R, W), Ath)
+                    G = A[:R] + A[R:] + bdot(Fb[0].reshape(R, W), Atl)
                 else:
-                    G = bdot(Fh, Ath)
+                    Fh = Fb[0].reshape(R, W)
+                    Fl = Fb[1].reshape(R, W)
+                    if _PASSES >= 3:
+                        G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+                    elif _PASSES == 2:
+                        G = bdot(Fh, Ath) + bdot(Fh, Atl)
+                    else:
+                        G = bdot(Fh, Ath)
                 G = G.reshape(Dz, Dy, S)
                 t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
                 return (t1 * WZt).sum(axis=0)            # (S,)
 
-            def fsl(h, z0, Dz, y0, Dy):
+            def fsl(z0, Dz, y0, Dy):
                 if nsub == 1:
-                    return fwin[slot, h, pl.ds(z0, Dz), pl.ds(y0, Dy)]
-                return fwin[slot, h, pl.ds(z0, Dz), pl.ds(y0, Dy),
+                    return fwin[slot, :, pl.ds(z0, Dz), pl.ds(y0, Dy)]
+                return fwin[slot, :, pl.ds(z0, Dz), pl.ds(y0, Dy),
                             pl.ds(wx, W)]
 
             # common case: this chunk's sample band fits the small
@@ -182,8 +200,8 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             @pl.when(vbit == 1)
             def _small():
                 out_ref[0, i, c0:c0 + S] = contract(
-                    fsl(0, dzo, Dzl, dyo, Dyl), fsl(1, dzo, Dzl, dyo, Dyl),
-                    Dzl, Dyl, wmat(Dzl, S, lz, wzs), wmat(Dyl, S, ly, wys))
+                    fsl(dzo, Dzl, dyo, Dyl), Dzl, Dyl,
+                    wmat(Dzl, S, lz, wzs), wmat(Dyl, S, ly, wys))
 
             # tail case (~2% of chunks on rough solver flows): contract
             # the full group window; lz/ly are chunk-origin-relative, so
@@ -191,8 +209,8 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             @pl.when(vbit == 0)
             def _group():
                 out_ref[0, i, c0:c0 + S] = contract(
-                    fsl(0, 0, Dzg, 0, Dyg), fsl(1, 0, Dzg, 0, Dyg),
-                    Dzg, Dyg, wmat(Dzg, S, lz + dzo, wzs),
+                    fsl(0, Dzg, 0, Dyg), Dzg, Dyg,
+                    wmat(Dzg, S, lz + dzo, wzs),
                     wmat(Dyg, S, ly + dyo, wys))
 
 
