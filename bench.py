@@ -57,8 +57,14 @@ def _make_pair(shape):
 
 
 def _build_step(device):
-    """Two compiled programs (flow, warp) — split so their peak HBM is not
-    summed in one program (the wide-tap warp operand is ~12G at this size).
+    """Two compiled programs (flow, warp), dispatched back-to-back.
+
+    Measured both ways on v5e: one fused jit runs 0.298 s/step vs
+    0.259 s/step split (2026-08-17, warm, 8-step pipelined stream) — the
+    pipelined stream already hides the inter-program dispatch gap, and
+    the fused program's scheduling/allocation (the warp's row-gather
+    fallback branch shares the pyramid's live range) loses ~40 ms. Split
+    also keeps peak HBM per program lower.
 
     Compiled ahead-of-time (lower().compile()) so compilation — which does
     NOT need the device claim — overlaps with claim acquisition running on
@@ -94,22 +100,23 @@ def _run_stream(step, fx, mv, uvw, wt, n):
     Mirrors the production pipeline: the corrector chains w_init from the
     previous frame's flow and never synchronizes per frame, so per-dispatch
     host latency (~25 ms through the remote runtime) overlaps device
-    compute instead of serializing after it. The final scalar fetch sums a
-    probe voxel of every output, forcing completion of all n steps.
+    compute instead of serializing after it. Only the LAST step is probed:
+    every enqueued program still executes (the remote queue runs in order,
+    and each pyramid feeds the next through uvw), while per-step eager
+    probe ops — each a separate ~25 ms remote dispatch of a tiny slice/sum
+    program — would add ~30 ms/step of pure host overhead (measured:
+    269 ms device work vs 298-304 ms with per-step probes, v5e
+    2026-08-17).
     """
     import jax.numpy as jnp
 
     uvw_cur = uvw
-    probes = []
     last_reg = None
     for _ in range(n):
         reg, flow = step(fx, mv, uvw_cur, wt)
         uvw_cur = flow
-        probes.append(jnp.sum(reg[0, 0, 0]) + jnp.sum(flow[0, 0, 0]))
         last_reg = reg
-    total = probes[0]
-    for s in probes[1:]:
-        total = total + s
+    total = jnp.sum(last_reg[0, 0, 0]) + jnp.sum(uvw_cur[0, 0, 0])
     return float(total), last_reg
 
 
