@@ -61,6 +61,7 @@ def test_redblack_matches_numpy_oracle(rng, a_smooth, a_data, update_lag):
         np.testing.assert_allclose(np.asarray(g), t, rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_redblack_lexicographic_same_fixed_point(rng):
     """In the linear regime (a_data=a_smooth=1) the system has a unique
     solution: both sweep orders — and the JAX solver — must converge to it.

@@ -39,6 +39,7 @@ def big_sparse_tiff(tmp_path_factory):
     return path, page0
 
 
+@pytest.mark.slow
 def test_reader_streams_bounded(big_sparse_tiff):
     from flowreg3d_tpu.io.tiff3d import TIFFFileReader3D
 

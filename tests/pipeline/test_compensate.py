@@ -26,6 +26,7 @@ def test_compensate_arr_5d(video5d, base_volume):
     assert err_after < err_before * 0.5
 
 
+@pytest.mark.slow
 def test_compensate_arr_shape_matrix(video5d, base_volume):
     # 4D input (T,Z,Y,X) + 3D reference
     reg, w = compensate_arr(video5d[..., 0], base_volume[..., 0],
@@ -39,6 +40,7 @@ def test_compensate_arr_shape_matrix(video5d, base_volume):
     assert w.shape == video5d.shape[1:4] + (3,)
 
 
+@pytest.mark.slow
 def test_output_typename_casting(video5d, base_volume):
     reg, _ = compensate_arr(video5d, base_volume,
                             options=fast_options(output_typename="single"))
@@ -48,6 +50,7 @@ def test_output_typename_casting(video5d, base_volume):
     assert reg.dtype == np.uint16
 
 
+@pytest.mark.slow
 def test_executor_consistency(video5d, base_volume):
     """All executors must agree — the reference's cross-executor invariant
     (rtol 1e-5); ours are bit-identical by construction."""
@@ -76,6 +79,7 @@ def test_mesh_executor_on_virtual_devices(video5d, base_volume):
     np.testing.assert_allclose(w, ref_w, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_progress_callbacks(video5d, base_volume):
     calls = []
     compensate_arr(video5d, base_volume, options=fast_options(),
@@ -92,6 +96,7 @@ def test_progress_callbacks(video5d, base_volume):
     assert reg.shape == video5d.shape
 
 
+@pytest.mark.slow
 def test_compensate_recording_hdf5(tmp_path, video5d, base_volume):
     from flowreg3d_tpu.io.factory import (
         get_video_file_reader,
@@ -134,6 +139,7 @@ def test_flow_statistics_values():
     assert stats["mean_translation"][1] == pytest.approx(2.0)
 
 
+@pytest.mark.slow
 def test_update_initialization_w_disabled(video5d, base_volume):
     reg, w = compensate_arr(
         video5d, base_volume,
@@ -146,6 +152,7 @@ def test_empty_input_raises(base_volume):
         compensate_arr(np.empty((0, 2, 2, 2, 1)), base_volume)
 
 
+@pytest.mark.slow
 def test_options_not_mutated(video5d, base_volume):
     opts = fast_options()
     fmt_before = opts.output_format
