@@ -130,6 +130,15 @@ def _pick_slab(p_int, m, n, budget_bytes=10 * 2 ** 20):
     return min(sz, p_int)
 
 
+def _pick_slab2(p_int, m, n, budget_bytes=13 * 2 ** 20):
+    """Slab height for the double-buffered base-free fused kernel.
+
+    Scratch = 2 slots x (duvw 3(sz+2) + SJ 9 sz) + out 3 sz slices."""
+    per_slice = m * n * 4
+    sz = max(1, int((budget_bytes // per_slice - 12) // 27))
+    return min(sz, p_int)
+
+
 # a_smooth != 1 variant: one extra halo field (psi) and per-voxel
 # diffusivity weights sw = 0.5*(psi_center + psi_neighbor) * a_dir computed
 # in-register (reference scheme: core/level_solver_3d.py:262-311).
@@ -953,17 +962,29 @@ def _fits_whole_plane(m, n):
     return m * n * 4 * 34 <= 14 * 2 ** 20
 
 
-def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
-                  sj_ref, out_ref, vmem_duvw, vmem_base, vmem_sj, vmem_out,
-                  sem_in, sem_out):
+def _sweep_kernel(n_iters, n_slabs, p_int, m0, n0, params_ref, duvw_ref,
+                  sj_ref, out_ref, vmem_duvw, vmem_sj, vmem_out, sem_in,
+                  sem_out):
     """Fused sweep: grid (n_iters, 2 phases, n_slabs), updates in place.
 
-    Inputs are STACKED on a leading axis (duvw (3,P,m,n), base u/v/w
-    (3,P,m,n), SJ (9,P,m,n)) so each program issues 3 input DMAs + 1 output
-    DMA instead of 18 — the per-iteration cost is DMA-setup-bound at these
-    slab sizes. Neumann boundaries are applied by clamping (ghost tot =
-    base_ghost + inc_center), so no boundary pass runs between half-sweeps.
+    Inputs are STACKED on a leading axis (duvw (3,P,m,n), SJ (9,P,m,n)) so
+    each program issues 2 input DMAs + 1 output DMA. The base flow (u,v,w)
+    is NOT streamed: its weighted Laplacian is folded into SJ14/24/34 on
+    the XLA side (see ``sweep_iterations_pallas``) — the stencil here runs
+    over the increments alone with center-clamped Neumann faces, cutting
+    slab traffic ~28% and VMEM residency ~40%.
+
+    Input slabs are DOUBLE-BUFFERED across grid steps: step g prefetches
+    step g+1's slabs while computing. Safety: within one half-sweep every
+    consumed halo value is opposite-parity and therefore not written by
+    any concurrently-running program (the racy bytes are same-parity
+    values never read, or identical-value rewrites of the passthrough
+    lanes). Across a phase boundary the prefetch of slab 0 races only
+    with writers of rows >= (n_slabs-1)*sz+1, disjoint from [0, sz+2)
+    when n_slabs >= 3 — for n_slabs < 3 the prefetch skips phase
+    boundaries and slab 0 fetches synchronously.
     """
+    it = pl.program_id(0)
     phase = pl.program_id(1)
     i = pl.program_id(2)
     sz = vmem_out.shape[1]
@@ -973,31 +994,41 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
     ay = params_ref[1]
     az = params_ref[2]
 
-    d1 = pltpu.make_async_copy(
-        duvw_ref.at[:, pl.ds(i * sz, sz + 2)], vmem_duvw, sem_in.at[0])
-    d2 = pltpu.make_async_copy(
-        base_ref.at[:, pl.ds(i * sz, sz + 2)], vmem_base, sem_in.at[1])
-    d3 = pltpu.make_async_copy(
-        sj_ref.at[:, pl.ds(i * sz + 1, sz)], vmem_sj, sem_in.at[2])
-    d1.start()
-    d2.start()
-    d3.start()
-    d1.wait()
-    d2.wait()
-    d3.wait()
+    glin = (it * 2 + phase) * n_slabs + i
+    slot = jax.lax.rem(glin, 2)
 
-    du = vmem_duvw[0]
-    dv = vmem_duvw[1]
-    dw = vmem_duvw[2]
-    u = vmem_base[0]
-    v = vmem_base[1]
-    w = vmem_base[2]
-    (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
-        vmem_sj[k] for k in range(_N_SLAB)]
+    def in_dmas(slot_, slab):
+        return (
+            pltpu.make_async_copy(
+                duvw_ref.at[:, pl.ds(slab * sz, sz + 2)],
+                vmem_duvw.at[slot_], sem_in.at[slot_, 0]),
+            pltpu.make_async_copy(
+                sj_ref.at[:, pl.ds(slab * sz + 1, sz)],
+                vmem_sj.at[slot_], sem_in.at[slot_, 1]),
+        )
 
-    duC = du[1:sz + 1]
-    dvC = dv[1:sz + 1]
-    dwC = dw[1:sz + 1]
+    if n_slabs >= 3:
+        first = glin == 0
+        has_next = glin + 1 < n_iters * 2 * n_slabs
+    else:
+        # no cross-phase prefetch: slab 0 of every phase self-fetches
+        first = i == 0
+        has_next = i + 1 < n_slabs
+
+    @pl.when(first)
+    def _():
+        for d in in_dmas(slot, i):
+            d.start()
+
+    inext = jnp.where(i + 1 < n_slabs, i + 1, 0)
+
+    @pl.when(has_next)
+    def _():
+        for d in in_dmas(1 - slot, inext):
+            d.start()
+
+    for d in in_dmas(slot, i):
+        d.wait()
 
     zg = (jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 0) + i * sz + 1)
     yg = jax.lax.broadcasted_iota(jnp.int32, (sz, m, n), 1)
@@ -1009,39 +1040,52 @@ def _sweep_kernel(n_iters, p_int, m0, n0, params_ref, duvw_ref, base_ref,
 
     sw_sum = 2.0 * (ax + ay + az)
 
-    def shifted_sums(base, inc):
-        # Neumann ghosts carry the increment's center value but the BASE
-        # field's own ring values (set_boundary copies du only; u's ring is
-        # whatever the caller provided): ghost tot = base_ghost + inc_center
-        tot = base + inc
-        totC = tot[1:sz + 1]
-        baseC = base[1:sz + 1]
+    def inc_sums(inc):
+        # increment-only stencil; Neumann faces clamp to the center value
+        # (ghost tot = base_ghost + inc_center, and the base part already
+        # lives in the SJ14/24/34 fold)
         incC = inc[1:sz + 1]
-        xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
-                       pltpu.roll(totC, 1, 2))
-        xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
-                       pltpu.roll(totC, n - 1, 2))
-        ym = jnp.where(yg == 1, pltpu.roll(baseC, 1, 1) + incC,
-                       pltpu.roll(totC, 1, 1))
-        yp = jnp.where(yg == m0 - 2, pltpu.roll(baseC, m - 1, 1) + incC,
-                       pltpu.roll(totC, m - 1, 1))
-        zm = jnp.where(zg == 1, base[0:sz] + incC, tot[0:sz])
-        zp = jnp.where(zg == p_int, base[2:sz + 2] + incC, tot[2:sz + 2])
-        return (ax * (xm + xp - 2.0 * baseC)
-                + ay * (ym + yp - 2.0 * baseC)
-                + az * (zm + zp - 2.0 * baseC))
+        xm = jnp.where(xg == 1, incC, pltpu.roll(incC, 1, 2))
+        xp = jnp.where(xg == n0 - 2, incC, pltpu.roll(incC, n - 1, 2))
+        ym = jnp.where(yg == 1, incC, pltpu.roll(incC, 1, 1))
+        yp = jnp.where(yg == m0 - 2, incC, pltpu.roll(incC, m - 1, 1))
+        zm = jnp.where(zg == 1, incC, inc[0:sz])
+        zp = jnp.where(zg == p_int, incC, inc[2:sz + 2])
+        return ax * (xm + xp) + ay * (ym + yp) + az * (zm + zp)
 
-    nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
-    nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
-    nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+    def compute(duvw_s, sj_s):
+        # STATIC slot refs: a traced slot index in the compute reads would
+        # materialize slab copies; only the DMA descriptors take dynamic
+        # slot addresses
+        du = duvw_s[0]
+        dv = duvw_s[1]
+        dw = duvw_s[2]
+        (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
+            sj_s[k] for k in range(_N_SLAB)]
 
-    new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
-    new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
-    new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+        duC = du[1:sz + 1]
+        dvC = dv[1:sz + 1]
+        dwC = dw[1:sz + 1]
 
-    vmem_out[0] = jnp.where(mask, new_du, duC)
-    vmem_out[1] = jnp.where(mask, new_dv, dvC)
-    vmem_out[2] = jnp.where(mask, new_dw, dwC)
+        nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + inc_sums(du)
+        nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + inc_sums(dv)
+        nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + inc_sums(dw)
+
+        new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
+        new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
+        new_dw = (1.0 - OMEGA) * dwC + OMEGA * nw / (SJ33 + sw_sum)
+
+        vmem_out[0] = jnp.where(mask, new_du, duC)
+        vmem_out[1] = jnp.where(mask, new_dv, dvC)
+        vmem_out[2] = jnp.where(mask, new_dw, dwC)
+
+    @pl.when(slot == 0)
+    def _():
+        compute(vmem_duvw.at[0], vmem_sj.at[0])
+
+    @pl.when(slot == 1)
+    def _():
+        compute(vmem_duvw.at[1], vmem_sj.at[1])
 
     out_dma = pltpu.make_async_copy(
         vmem_out, out_ref.at[:, pl.ds(i * sz + 1, sz)], sem_out.at[0])
@@ -1156,7 +1200,7 @@ def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
     p_int = p - 2
     m = -(-m0 // 8) * 8
     n = -(-n0 // 128) * 128
-    sz = _pick_slab(p_int, m, n)
+    sz = _pick_slab2(p_int, m, n)
     n_slabs = -(-p_int // sz)
     p_pad = n_slabs * sz + 2
     padz = p_pad - p
@@ -1164,23 +1208,40 @@ def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
     def padf(f):
         return jnp.pad(f, ((0, 0), (0, padz), (0, m - m0), (0, n - n0)))
 
-    # stacked operands: 3 input DMAs + 1 output DMA per grid program
-    duvw = padf(jnp.stack([du, dv, dw]))
-    base = padf(jnp.stack([u, v, w]))
-    sj = padf(jnp.stack(list(SJ)))
+    # the base flow enters the update only through its weighted Laplacian
+    # (constant across iterations — u/v/w never change inside a level
+    # solve): fold it into the SJ14/24/34 data terms so the kernel streams
+    # 12 fields per slab instead of 18. Rolls here consume the same ring/
+    # ghost values the in-kernel tot-rolls did; wrap positions are never
+    # read (the kernel masks the boundary ring out).
+    params = jnp.asarray(params, du.dtype)
+    ax, ay, az = params[0], params[1], params[2]
 
-    kern = functools.partial(_sweep_kernel, n_iters, p_int, m0, n0)
+    def lap_b(b):
+        return (ax * (jnp.roll(b, 1, 2) + jnp.roll(b, -1, 2) - 2.0 * b)
+                + ay * (jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1) - 2.0 * b)
+                + az * (jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0) - 2.0 * b))
+
+    SJ = list(SJ)
+    SJ[6] = SJ[6] - lap_b(u)
+    SJ[7] = SJ[7] - lap_b(v)
+    SJ[8] = SJ[8] - lap_b(w)
+
+    # stacked operands: 2 input DMAs + 1 output DMA per grid program
+    duvw = padf(jnp.stack([du, dv, dw]))
+    sj = padf(jnp.stack(SJ))
+
+    kern = functools.partial(_sweep_kernel, n_iters, n_slabs, p_int, m0, n0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_iters, 2, n_slabs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((3, sz + 2, m, n), du.dtype),
-            pltpu.VMEM((3, sz + 2, m, n), du.dtype),
-            pltpu.VMEM((_N_SLAB, sz, m, n), du.dtype),
+            pltpu.VMEM((2, 3, sz + 2, m, n), du.dtype),
+            pltpu.VMEM((2, _N_SLAB, sz, m, n), du.dtype),
             pltpu.VMEM((3, sz, m, n), du.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
@@ -1190,7 +1251,7 @@ def sweep_iterations_pallas(du, dv, dw, u, v, w, SJ, params, n_iters,
         out_shape=jax.ShapeDtypeStruct((3, p_pad, m, n), du.dtype),
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(jnp.asarray(params, du.dtype), duvw, base, sj)
+    )(params, duvw, sj)
     return tuple(out[k, :p, :m0, :n0] for k in range(3))
 
 
