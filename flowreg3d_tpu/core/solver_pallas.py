@@ -841,8 +841,8 @@ def halfsweep_pallas_psi(du, dv, dw, u, v, w, psi, SJ, params, red_phase,
 
 
 def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
-                     base_ref, sj_ref, out_ref, vmem_duvw, vmem_base,
-                     vmem_sj, vmem_out, sem_in, sem_out):
+                     sj_ref, out_ref, vmem_duvw, vmem_sj, vmem_out, sem_in,
+                     sem_out):
     phase = pl.program_id(1) + phase_base
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -856,17 +856,12 @@ def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
     d1 = pltpu.make_async_copy(
         duvw_ref.at[:, pl.ds(i * sz, sz + 2), pl.ds(j * ty, TY)],
         vmem_duvw, sem_in.at[0])
-    d2 = pltpu.make_async_copy(
-        base_ref.at[:, pl.ds(i * sz, sz + 2), pl.ds(j * ty, TY)],
-        vmem_base, sem_in.at[1])
     d3 = pltpu.make_async_copy(
         sj_ref.at[:, pl.ds(i * sz + 1, sz), pl.ds(j * ty + 8, ty)],
-        vmem_sj, sem_in.at[2])
+        vmem_sj, sem_in.at[1])
     d1.start()
-    d2.start()
     d3.start()
     d1.wait()
-    d2.wait()
     d3.wait()
 
     def C(f):
@@ -875,9 +870,6 @@ def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
     du = vmem_duvw[0]
     dv = vmem_duvw[1]
     dw = vmem_duvw[2]
-    u = vmem_base[0]
-    v = vmem_base[1]
-    w = vmem_base[2]
     (SJ11, SJ22, SJ33, SJ12, SJ13, SJ23, SJ14, SJ24, SJ34) = [
         vmem_sj[k] for k in range(_N_SLAB)]
 
@@ -895,33 +887,23 @@ def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
 
     sw_sum = 2.0 * (ax + ay + az)
 
-    def shifted_sums(base, inc):
-        # Neumann ghosts: ghost tot = base_ghost + inc_center (same scheme
-        # as _sweep_kernel); y/z neighbors come from halo slices instead of
-        # rolls so they cross tile boundaries correctly
-        tot = base + inc
-        totC = C(tot)
-        baseC = C(base)
+    def inc_sums(inc):
+        # increment-only stencil (base Laplacian folded into SJ14/24/34 by
+        # the caller, same scheme as _sweep_kernel); Neumann faces clamp
+        # to the center value; y/z neighbors come from halo slices instead
+        # of rolls so they cross tile boundaries correctly
         incC = C(inc)
-        xm = jnp.where(xg == 1, pltpu.roll(baseC, 1, 2) + incC,
-                       pltpu.roll(totC, 1, 2))
-        xp = jnp.where(xg == n0 - 2, pltpu.roll(baseC, n - 1, 2) + incC,
-                       pltpu.roll(totC, n - 1, 2))
-        ym = jnp.where(yg == 1, base[1:sz + 1, 7:7 + ty] + incC,
-                       tot[1:sz + 1, 7:7 + ty])
-        yp = jnp.where(yg == m0 - 2, base[1:sz + 1, 9:9 + ty] + incC,
-                       tot[1:sz + 1, 9:9 + ty])
-        zm = jnp.where(zg == 1, base[0:sz, 8:8 + ty] + incC,
-                       tot[0:sz, 8:8 + ty])
-        zp = jnp.where(zg == p_int, base[2:sz + 2, 8:8 + ty] + incC,
-                       tot[2:sz + 2, 8:8 + ty])
-        return (ax * (xm + xp - 2.0 * baseC)
-                + ay * (ym + yp - 2.0 * baseC)
-                + az * (zm + zp - 2.0 * baseC))
+        xm = jnp.where(xg == 1, incC, pltpu.roll(incC, 1, 2))
+        xp = jnp.where(xg == n0 - 2, incC, pltpu.roll(incC, n - 1, 2))
+        ym = jnp.where(yg == 1, incC, inc[1:sz + 1, 7:7 + ty])
+        yp = jnp.where(yg == m0 - 2, incC, inc[1:sz + 1, 9:9 + ty])
+        zm = jnp.where(zg == 1, incC, inc[0:sz, 8:8 + ty])
+        zp = jnp.where(zg == p_int, incC, inc[2:sz + 2, 8:8 + ty])
+        return ax * (xm + xp) + ay * (ym + yp) + az * (zm + zp)
 
-    nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + shifted_sums(u, du)
-    nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + shifted_sums(v, dv)
-    nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + shifted_sums(w, dw)
+    nu = -(SJ14 + SJ12 * dvC + SJ13 * dwC) + inc_sums(du)
+    nv = -(SJ24 + SJ12 * duC + SJ23 * dwC) + inc_sums(dv)
+    nw = -(SJ34 + SJ13 * duC + SJ23 * dvC) + inc_sums(dw)
 
     new_du = (1.0 - OMEGA) * duC + OMEGA * nu / (SJ11 + sw_sum)
     new_dv = (1.0 - OMEGA) * dvC + OMEGA * nv / (SJ22 + sw_sum)
@@ -941,7 +923,7 @@ def _sweep_kernel_ty(phase_base, p_int, m0, n0, ty, params_ref, duvw_ref,
 
 def _bytes_ty(sz, ty, n):
     """VMEM bytes of the y-tiled a_smooth=1 kernel's scratch buffers."""
-    return 4 * n * (6 * (sz + 2) * (ty + 16) + 12 * sz * ty)
+    return 4 * n * (3 * (sz + 2) * (ty + 16) + 12 * sz * ty)
 
 
 def _pick_ty(p_int, m0, n, budget_bytes=10 * 2 ** 20):
@@ -1122,10 +1104,23 @@ def _sweep_iterations_ty(du, dv, dw, u, v, w, SJ, params, n_iters,
         return jnp.pad(f, ((0, 0), (0, p_pad - p), (8, M - 8 - m0),
                            (0, n - n0)))
 
-    duvw = padf(jnp.stack([du, dv, dw]))
-    base = padf(jnp.stack([u, v, w]))
-    sj = padf(jnp.stack(list(SJ)))
     params = jnp.asarray(params, du.dtype)
+    ax, ay, az = params[0], params[1], params[2]
+
+    # base Laplacian folded into the SJ14/24/34 data terms (constant
+    # across iterations) — same derivation as sweep_iterations_pallas
+    def lap_b(b):
+        return (ax * (jnp.roll(b, 1, 2) + jnp.roll(b, -1, 2) - 2.0 * b)
+                + ay * (jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1) - 2.0 * b)
+                + az * (jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0) - 2.0 * b))
+
+    SJ = list(SJ)
+    SJ[6] = SJ[6] - lap_b(u)
+    SJ[7] = SJ[7] - lap_b(v)
+    SJ[8] = SJ[8] - lap_b(w)
+
+    duvw = padf(jnp.stack([du, dv, dw]))
+    sj = padf(jnp.stack(SJ))
 
     def call(state, phase_base, nph, k_iters):
         kern = functools.partial(_sweep_kernel_ty, phase_base, p_int, m0,
@@ -1133,14 +1128,13 @@ def _sweep_iterations_ty(du, dv, dw, u, v, w, SJ, params, n_iters,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(k_iters, nph, n_slabs, n_ty),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((3, sz + 2, ty + 16, n), du.dtype),
-                pltpu.VMEM((3, sz + 2, ty + 16, n), du.dtype),
                 pltpu.VMEM((_N_SLAB, sz, ty, n), du.dtype),
                 pltpu.VMEM((3, sz, ty, n), du.dtype),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
             ],
         )
@@ -1149,7 +1143,7 @@ def _sweep_iterations_ty(du, dv, dw, u, v, w, SJ, params, n_iters,
             out_shape=jax.ShapeDtypeStruct((3, p_pad, M, n), du.dtype),
             input_output_aliases={1: 0},
             interpret=interpret,
-        )(params, state, base, sj)
+        )(params, state, sj)
 
     if interpret:
         state = duvw
