@@ -705,7 +705,8 @@ def sweep_iterations_pallas_psi(du, dv, dw, u, v, w, SJ, params, n_iters,
     ``force_ty`` pins a tile height for tests.
     """
     if force_ty is not None or not _fits_whole_plane(
-            -(-du.shape[1] // 8) * 8, -(-du.shape[2] // 128) * 128):
+            -(-du.shape[1] // 8) * 8, -(-du.shape[2] // 128) * 128,
+            planes=47):
         return _sweep_iterations_psi_ty(du, dv, dw, u, v, w, SJ, params,
                                         n_iters, interpret, force_ty)
     if interpret:
@@ -937,11 +938,15 @@ def _pick_ty(p_int, m0, n, budget_bytes=10 * 2 ** 20):
     return min(sz, p_int), ty
 
 
-def _fits_whole_plane(m, n):
+def _fits_whole_plane(m, n, planes=39):
     """Can the whole-plane (non-tiled) fused kernels hold a slab in VMEM?
 
-    The non-tiled kernels keep ~30-34 (m, n)-planes resident at sz=1."""
-    return m * n * 4 * 34 <= 14 * 2 ** 20
+    ``planes`` is the kernel's sz=1 scratch floor: 27*sz+12 = 39 for the
+    double-buffered base-free a_smooth=1 kernel, 17*sz+30 = 47 for the
+    single-buffered psi kernel. Requiring the floor to fit 13 MiB leaves
+    ~3 MiB of headroom for Mosaic's vector temporaries — anything larger
+    routes to the y-tiled kernels."""
+    return m * n * 4 * planes <= 13 * 2 ** 20
 
 
 def _sweep_kernel(n_iters, n_slabs, p_int, m0, n0, params_ref, duvw_ref,

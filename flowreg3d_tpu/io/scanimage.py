@@ -102,6 +102,10 @@ def extract_from_description(description):
     patterns = {
         "channels": [
             (r"SI\.hChannels\.channelSave\s*=\s*\[([\d\s,;]+)\]", "list"),
+            # reference parity (_scanimage.py:233-235,270): read as a count
+            # in the description-only fallback — but NEVER override a
+            # header-derived value with it (see parse_scanimage_metadata);
+            # real ScanImage emits a channel id here for single channels
             (r"SI\.hChannels\.channelsActive\s*=\s*(\d+)", "int"),
         ],
         "slices_per_volume": [
@@ -116,8 +120,10 @@ def extract_from_description(description):
             (r"SI\.hStackManager\.framesPerSlice\s*=\s*(\d+)", "int"),
         ],
         "z_step": [
-            (r"SI\.hStackManager\.stackZStepSize\s*=\s*([\d.]+)", "float"),
-            (r"SI\.hFastZ\.positionAbsolute\s*=\s*\[([\d.\s,;]+)\]", "zlist"),
+            # sign matters: descending stacks carry negative step sizes
+            (r"SI\.hStackManager\.stackZStepSize\s*=\s*(-?[\d.]+)", "float"),
+            (r"SI\.hFastZ\.positionAbsolute\s*=\s*\[([-\d.\s,;]+)\]",
+             "zlist"),
         ],
         "frame_rate": [
             (r"SI\.hRoiManager\.scanFrameRate\s*=\s*([\d.]+)", "float"),
@@ -199,13 +205,18 @@ def parse_scanimage_metadata(source):
                 return fields[n]
         return default
 
-    save = get("SI.hChannels.channelSave", default=1)
+    save = get("SI.hChannels.channelSave")
     if isinstance(save, (list, tuple)):
         channels = len(save)
+    elif save is not None:
+        channels = 1        # scalar channelSave = exactly one saved channel
     else:
-        channels = 1
-    if channels == 1 and rec.get("channels"):
-        channels = rec["channels"]
+        # no structured channel field at all: fall back to the description
+        # extraction. The reference does the same (description extraction
+        # only runs when the structured header is absent, _scanimage.py:
+        # 155-168); a header-derived channels=1 must NOT be overridden by
+        # channelsActive, which is a channel id for single-channel files.
+        channels = int(rec.get("channels", 1) or 1)
 
     def _intlike(v):
         return isinstance(v, (int, float)) and not isinstance(v, bool)

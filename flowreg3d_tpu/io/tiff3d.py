@@ -126,8 +126,11 @@ class TIFFFileReader3D(VideoReader3D):
     def _read_raw_frames(self, frame_indices):
         if self._data is not None:
             out = self._data[frame_indices]
-            return np.ascontiguousarray(out).astype(
-                out.dtype.newbyteorder("="), copy=False)
+            # always a FRESH array: slice views would be read-only for
+            # memmap-backed _data (callers mutate batches in place) and
+            # would alias the cached volume otherwise
+            return np.array(out, dtype=out.dtype.newbyteorder("="),
+                            order="C")
         if isinstance(frame_indices, slice):
             ts = range(*frame_indices.indices(self.frame_count))
         else:

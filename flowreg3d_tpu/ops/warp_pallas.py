@@ -336,6 +336,12 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
     for gz, gy, lz_, ly_ in _GEOMS:
         geom = (min(gz, Ze), min(gy, Yp), min(lz_, min(gz, Ze)),
                 min(ly_, min(gy, Yp)))
+        # every lax.cond tier compiles: drop geometries whose double-
+        # buffered hi/lo window would blow VMEM at this Xp (wide-X volumes
+        # keep the smaller tiers; windowed_ok guarantees at least tier 2
+        # fits). 12.5 MiB leaves ~3.5 MiB for At/G/weight temporaries.
+        if 2 * 2 * geom[0] * geom[1] * Xp * 2 > int(12.5 * 2 ** 20):
+            continue
         if geom not in seen:
             seen.add(geom)
             geoms.append(geom)
@@ -422,6 +428,14 @@ def windowed_ok(shape, order=3):
     if Y % _LPG != 0:
         return False
     if Z * Y * X < (1 << 21):
+        return False
+    # scalar-prefetch budget: the per-(line, chunk) window table is
+    # (2 + 9*nsub) rows x L8 groups of int32 and must fit SMEM (~1 MB;
+    # observed failing at 70 rows x 4096 groups)
+    Xp = _ceil_to(X + 3, 128)
+    nsub = X // _SUB if (X % _SUB == 0 and X // _SUB > 1
+                         and Xp >= _WSUB) else 1
+    if (2 + 9 * nsub) * ((Z * Y) // _LPG) * 4 > 800_000:
         return False
     from flowreg3d_tpu.core.solver import pallas_enabled
 

@@ -23,7 +23,7 @@ case "$tier" in
     exec python -m pytest tests/ -m slow -q "$@"
     ;;
   all)
-    python -m pytest tests/ops tests/core tests/util -q "$@"
+    python -m pytest tests/ops tests/core tests/util tests/test_runtime.py -q "$@"
     python -m pytest tests/io tests/cli tests/motion_generation -q "$@"
     exec python -m pytest tests/pipeline tests/parallel -q "$@"
     ;;
