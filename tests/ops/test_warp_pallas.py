@@ -125,3 +125,35 @@ def test_windowed_ok_gates():
     assert not windowed_ok((4, 12, 64))          # Y % 8 != 0
     assert not windowed_ok((64, 512, 2048))      # X too wide for VMEM
     assert not windowed_ok((8, 16, 16))          # too small to pay off
+    # scalar-prefetch SMEM budget: X=1024 at 64x512 lines needs a
+    # (2 + 9*8)-row table over 4096 groups = 1.21 MB > ~1 MB SMEM
+    assert not windowed_ok((64, 512, 1024))
+
+
+def test_geometry_vmem_filter():
+    """Tiers whose double-buffered window would blow VMEM at this Xp must
+    be dropped from the lax.cond chain (every branch compiles)."""
+    from flowreg3d_tpu.ops import warp_pallas as wp
+
+    for Xp in (640, 1152, 1280):
+        kept = [g for g in wp._GEOMS
+                if 2 * 2 * g[0] * g[1] * Xp * 2 <= int(12.5 * 2 ** 20)]
+        # the smallest tier always survives so wide-X volumes still get a
+        # windowed fast path before the row-gather fallback
+        assert kept and kept[0] == wp._GEOMS[0]
+        if Xp <= 640:
+            assert len(kept) == len(wp._GEOMS)
+
+
+def test_fits_whole_plane_budgets_actual_scratch():
+    from flowreg3d_tpu.core.solver_pallas import (
+        _fits_whole_plane, _pick_slab2)
+
+    # near-gate plane: whole-plane admitted => sz=1 scratch must fit 13MiB
+    for m, n in [(176, 256), (344, 256), (256, 384)]:
+        if _fits_whole_plane(m, n):
+            sz = _pick_slab2(m - 2 if m > 2 else 1, m, n)
+            assert m * n * 4 * (27 * sz + 12) <= 13 * 2 ** 20
+    # the case from review: 416x256 planes must route to the y-tiled path
+    assert not _fits_whole_plane(416, 256)
+    assert not _fits_whole_plane(416, 256, planes=47)
