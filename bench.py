@@ -17,6 +17,7 @@ re-measured only when the config hash changes.
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -175,7 +176,15 @@ def _cpu_baseline(fixed, moving):
         except Exception:
             pass
     cpu = jax.devices("cpu")[0]
-    rate, _ = _measure(cpu, fixed, moving, n_warm=1, n_measure=1)
+    # XLA:CPU AOT cache entries are useless (every load fails the host
+    # feature check and recompiles) and huge (~1 GB for this config);
+    # keep them out of the committed TPU cache while measuring
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        rate, _ = _measure(cpu, fixed, moving, n_warm=1, n_measure=1)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
     try:
         CACHE.write_text(json.dumps(
             {"hash": h, "volumes_per_sec": rate,
@@ -186,7 +195,60 @@ def _cpu_baseline(fixed, moving):
     return rate
 
 
+def _wait_for_service(max_wait=None, probe_timeout=150.0, retry_gap=45.0):
+    """Probe the accelerator service with bounded-timeout subprocesses.
+
+    The remote TPU service has multi-hour outages during which
+    ``jax.devices()`` blocks forever inside backend initialization — that
+    hang cost rounds 2 and 3 their official BENCH artifacts (rc 124 at
+    driver time, VERDICT.md round 3 weak #1). Never initialize the
+    accelerator backend in THIS process until a disposable subprocess has
+    proven the service reachable. Retries for up to ``max_wait`` seconds
+    (default 960, env ``FLOWREG3D_BENCH_MAX_WAIT``), logging each attempt
+    to stderr. Returns True when a probe succeeds, False on budget
+    exhaustion.
+    """
+    if max_wait is None:
+        max_wait = float(os.environ.get("FLOWREG3D_BENCH_MAX_WAIT", "960"))
+    deadline = time.monotonic() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        _log(f"probing accelerator service (attempt {attempt}, "
+             f"timeout {probe_timeout:.0f}s)")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                _log(f"service up: {r.stdout.strip()}")
+                return True
+            _log(f"probe failed rc={r.returncode}: "
+                 f"{(r.stderr or '').strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            _log("probe timed out (service wedged/unreachable)")
+        remaining = deadline - time.monotonic()
+        if remaining <= retry_gap:
+            _log(f"service still down after {max_wait:.0f}s budget")
+            return False
+        time.sleep(retry_gap)
+
+
 def main():
+    if not _wait_for_service():
+        print("accelerator service unreachable for the whole probe "
+              "window; refusing to hang in backend init", file=sys.stderr)
+        sys.exit(3)
+
+    # the service can still wedge between the probe and our own backend
+    # init; convert any such hang into a traceback + rc 1 instead of an
+    # opaque driver timeout
+    import faulthandler
+    faulthandler.dump_traceback_later(
+        float(os.environ.get("FLOWREG3D_BENCH_WATCHDOG", "1080")),
+        exit=True)
+
     import jax
 
     fixed, moving = _make_pair(SHAPE)

@@ -5,16 +5,18 @@ Scope (sufficient for the framework's TIFF surface — reference
 util/io/tiff_3d.py / tiff.py behaviors):
 
 - **Read**: classic (II/MM) and BigTIFF; per-page IFDs; strips (and simple
-  single-tile layouts); uncompressed (compression=1) data; sample formats
-  uint/int/float at 8/16/32/64 bits; PlanarConfig contig; multi-sample
-  (RGB/multichannel) pages; ImageJ description metadata (images/channels/
-  slices/frames/hyperstack) including ImageJ's "fake big TIFF" layout where
-  only the first page has an IFD and remaining pages follow contiguously.
+  single-tile layouts); compression none/LZW/deflate(+zlib)/PackBits with
+  horizontal-predictor support; sample formats uint/int/float at 8/16/32/64
+  bits; PlanarConfig contig; multi-sample (RGB/multichannel) pages; ImageJ
+  description metadata (images/channels/slices/frames/hyperstack) including
+  ImageJ's "fake big TIFF" layout where only the first page has an IFD and
+  remaining pages follow contiguously.
 - **Write**: streaming page appends (pixel data written immediately, IFDs
   assembled at close), classic or BigTIFF, grayscale or multi-sample pages,
-  ImageJ description on the first page for hyperstack round-trips.
+  ImageJ description on the first page for hyperstack round-trips. Writes
+  are always uncompressed.
 
-Not supported (raises): LZW/deflate/packbits compression, planar=separate,
+Not supported (raises): JPEG/other exotic compressions, planar=separate,
 palettes, subifds. These are not produced by the reference pipeline.
 """
 

@@ -534,7 +534,7 @@ def _jit_shardmap_step(config_key, interp, mesh_devices):
     forms — unlike vmap, which forces slow batched gathers and an XLA
     solver fallback."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     mesh = Mesh(np.array(list(mesh_devices)), ("batch",))

@@ -268,7 +268,7 @@ def compute_flow_level_sharded(J_entries, weight, u, v, w, alpha, iterations,
     over the mesh; each shard keeps 1 ghost row per side, refreshed by
     ppermute before every half-sweep. Returns (du, dv, dw) gathered.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = mesh or spatial_mesh()
     n_dev = mesh.devices.size
@@ -310,7 +310,9 @@ def compute_flow_level_sharded(J_entries, weight, u, v, w, alpha, iterations,
 
     # the leading stacked-blocks axis is the sharded axis; each shard sees
     # its (1, pz+2, ...) block
-    fn = shard_map(
+    # jit is essential: an un-jitted shard_map executes op-by-op with one
+    # dispatch-compile per primitive per device (see spatial_pyramid.py)
+    fn = jax.jit(shard_map(
         lambda Jt_l, w_l, u_l, v_l, w3_l, al, ad: tuple(
             x[None] for x in _sharded_solve_body(
                 Jt_l[0], w_l[0], u_l[0], v_l[0], w3_l[0], al, ad,
@@ -319,7 +321,7 @@ def compute_flow_level_sharded(J_entries, weight, u, v, w, alpha, iterations,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
-    )
+    ))
     du_b, dv_b, dw_b = fn(Jt_b, w_b, u_b, v_b, w3_b, alpha, a_data)
     out = []
     for x in (du_b, dv_b, dw_b):

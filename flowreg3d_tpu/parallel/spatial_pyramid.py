@@ -516,7 +516,7 @@ def get_displacement_sharded(fixed, moving, mesh=None, axis="z",
     needed z-samples beyond the ``halo_w`` window (fall back to the
     single-device path in that case).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = mesh or spatial_mesh(axis=axis)
     n_dev = mesh.devices.size
@@ -549,10 +549,13 @@ def get_displacement_sharded(fixed, moving, mesh=None, axis="z",
         float(eta), a_data, const_assumption, dtype, int(halo), int(halo_w),
         float(a_smooth))
 
-    fn = shard_map(
+    # jit is essential: an un-jitted shard_map executes the pyramid
+    # op-by-op (one dispatch-compile per primitive per device — measured
+    # 204 s vs 22 s jitted for one tiny level on the 8-device CPU mesh)
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()),
-    )
+    ))
     flow, valid = fn(padf(fixed), padf(moving), padf(uvw), padf(weight))
     return flow[:Z], valid

@@ -36,18 +36,31 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable_compile_cache(path=None, min_compile_time_secs=0.0):
-    """Enable JAX's persistent compilation cache.
+    """Enable JAX's persistent compilation cache (TPU programs only).
 
     path: cache directory (created if missing). Defaults to
         ``<repo>/.jax_cache`` so a pre-warmed cache travels with the
-        checkout.
+        checkout. When ``JAX_PLATFORMS`` selects the CPU backend and no
+        explicit path is given, this is a NO-OP: XLA:CPU AOT cache
+        entries embed tuning pseudo-features (``+prefer-no-scatter``)
+        that host feature detection never reports, so every load fails
+        the compatibility check, prints a huge mismatch warning, and
+        falls back to a fresh compile anyway — measured 2026-08-18:
+        12,718 warnings (22 MB of stderr) per dry run and warm == cold
+        wall time. Persistent caching only pays off for the remote-TPU
+        compiles.
     min_compile_time_secs: only cache compiles slower than this.
         0.0 caches everything (right for benchmark/driver runs where
         every saved compile counts).
     """
     import jax
 
-    path = str(path or _DEFAULT_DIR)
+    if path is None:
+        plat = os.environ.get("JAX_PLATFORMS", "").lower()
+        if plat.startswith("cpu"):
+            return None
+        path = _DEFAULT_DIR
+    path = str(path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
