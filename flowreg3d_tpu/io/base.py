@@ -134,6 +134,9 @@ class VideoReader3D(ABC):
         return self.bin_frames(raw)
 
     def has_batch(self):
+        # must self-initialize: on a fresh reader frame_count is still 0
+        # and an uninitialized has_batch() would falsely end the stream
+        self._ensure_initialized()
         return self.current_frame < self.frame_count
 
     def reset(self):

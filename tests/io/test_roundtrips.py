@@ -259,3 +259,23 @@ def test_ds_discovery():
     assert dataset_name_for_channel("ch*_reg", 1, 2) == "ch1_reg"
     assert dataset_name_for_channel(["a", "b"], 2, 2) == "b"
     assert dataset_name_for_channel("mov", 1, 1) == "mov"
+
+
+def test_fresh_reader_streams_without_prior_init(tmp_path, video):
+    """has_batch() on a freshly-constructed file reader must self-initialize.
+
+    Regression: frame_count is 0 before lazy init, so an uninitialized
+    has_batch() returned False and a fresh streaming loop read nothing.
+    """
+    path = tmp_path / "fresh.h5"
+    w = get_video_file_writer(str(path), "HDF5")
+    w.write_frames(video)
+    w.close()
+    r = get_video_file_reader(str(path), buffer_size=3)
+    # no .shape / __getitem__ access before the streaming protocol
+    assert r.has_batch()
+    n = 0
+    while r.has_batch():
+        n += r.read_batch().shape[0]
+    r.close()
+    assert n == video.shape[0]
