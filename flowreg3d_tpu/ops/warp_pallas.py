@@ -49,6 +49,18 @@ _PASSES = int(os.environ.get("FLOWREG3D_WARP_PASSES", "3"))
 # Default on — measured 198.7 vs 206.6 ms on the canonical 512x512x64
 # converged flow (v5e, 2026-08-17), outputs identical to 9e-8.
 _STACKED = os.environ.get("FLOWREG3D_WARP_STACK", "1") == "1"
+# int8 fixed-point contraction (the round-3 'only big known lever'):
+# volume and tap-weight operands split into two 7-bit limbs each, three
+# int8 limb products (F0A0, F1A0 stacked + F0A1) instead of three bf16
+# passes — 1.5x the row-work at the int8 MXU's 2x rate, plus half the
+# window-DMA bytes. Accuracy ~1e-4 of the volume max (vs ~1e-5 bf16x3,
+# 1.4e-3 bf16x2). Gated off until the int8 rate is proven on hardware
+# (scripts/micro_int8.py). Read at TRACE time (not import) so A/B runs
+# can toggle it inside one process/device claim.
+
+
+def _int8_mode():
+    return os.environ.get("FLOWREG3D_WARP_INT8", "0") == "1"
 
 from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 
@@ -94,9 +106,9 @@ def _w_taps(f, order):
     return (1.0 - f, f)
 
 
-def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
-            lz_ref, ly_ref, x0_ref, fz_ref, fy_ref, fx_ref, out_ref, fwin,
-            sem):
+def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, int8, win_ref,
+            cext_ref, lz_ref, ly_ref, x0_ref, fz_ref, fy_ref, fx_ref,
+            out_ref, fwin, sem):
     g = pl.program_id(0)
     Xp = cext_ref.shape[3]
     Xb = out_ref.shape[2]
@@ -127,10 +139,29 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             acc = acc + jnp.where(rows == base + t, wt, 0.0)
         return acc
 
+    def wmat8(nrows, ncols, base, weights):
+        """Two int8 fixed-point limb matrices: At*127 ~= A0 + A1/256."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, ncols), 0)
+        a0 = jnp.zeros((nrows, ncols), jnp.float32)
+        a1 = jnp.zeros((nrows, ncols), jnp.float32)
+        for t, wt in enumerate(weights):
+            p = wt * 127.0
+            p0 = jnp.round(p)
+            p1 = jnp.clip(jnp.round((p - p0) * 256.0), -127.0, 127.0)
+            sel = rows == base + t
+            a0 = a0 + jnp.where(sel, p0, 0.0)
+            a1 = a1 + jnp.where(sel, p1, 0.0)
+        return a0.astype(jnp.int8), a1.astype(jnp.int8)
+
     def bdot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    def idot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
 
     def split(a):
         # manual bf16x3: Mosaic's DEFAULT f32 dot is a single bf16 pass
@@ -167,27 +198,43 @@ def _kernel(L8, Dzg, Dyg, Dzl, Dyl, n_taps, order, nsub, win_ref, cext_ref,
             wys = _w_taps(fy_ref[0, i, c0:c0 + S].reshape(1, S), order)
             wzs = _w_taps(fz_ref[0, i, c0:c0 + S].reshape(1, S), order)
 
-            At = wmat(W, S, x0, wxs)  # x-taps one-hot * weight
-            Ath, Atl = split(At)
+            if int8:
+                A0, A1 = wmat8(W, S, x0, wxs)  # x-taps one-hot, 2 limbs
 
-            def contract(Fb, Dz, Dy, WZt, WYt):
-                # Fb: (2, Dz, Dy, W) hi/lo window slice
-                R = Dz * Dy
-                if _STACKED and _PASSES >= 3:
-                    A = bdot(Fb.reshape(2 * R, W), Ath)
-                    G = A[:R] + A[R:] + bdot(Fb[0].reshape(R, W), Atl)
-                else:
-                    Fh = Fb[0].reshape(R, W)
-                    Fl = Fb[1].reshape(R, W)
-                    if _PASSES >= 3:
-                        G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
-                    elif _PASSES == 2:
-                        G = bdot(Fh, Ath) + bdot(Fh, Atl)
+                def contract(Fb, Dz, Dy, WZt, WYt):
+                    # Fb: (2, Dz, Dy, W) int8 limb window slice;
+                    # F*At*127^2 ~= F0A0 + (F1A0 + F0A1)/256 (F1A1 dropped)
+                    R = Dz * Dy
+                    Gi = idot(Fb.reshape(2 * R, W), A0)
+                    Gj = idot(Fb[0].reshape(R, W), A1)
+                    G = (Gi[:R].astype(jnp.float32)
+                         + (Gi[R:] + Gj).astype(jnp.float32)
+                         * jnp.float32(1.0 / 256.0))
+                    G = G.reshape(Dz, Dy, S)
+                    t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
+                    return (t1 * WZt).sum(axis=0)            # (S,)
+            else:
+                At = wmat(W, S, x0, wxs)  # x-taps one-hot * weight
+                Ath, Atl = split(At)
+
+                def contract(Fb, Dz, Dy, WZt, WYt):
+                    # Fb: (2, Dz, Dy, W) hi/lo window slice
+                    R = Dz * Dy
+                    if _STACKED and _PASSES >= 3:
+                        A = bdot(Fb.reshape(2 * R, W), Ath)
+                        G = A[:R] + A[R:] + bdot(Fb[0].reshape(R, W), Atl)
                     else:
-                        G = bdot(Fh, Ath)
-                G = G.reshape(Dz, Dy, S)
-                t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
-                return (t1 * WZt).sum(axis=0)            # (S,)
+                        Fh = Fb[0].reshape(R, W)
+                        Fl = Fb[1].reshape(R, W)
+                        if _PASSES >= 3:
+                            G = bdot(Fh, Ath) + bdot(Fh, Atl) + bdot(Fl, Ath)
+                        elif _PASSES == 2:
+                            G = bdot(Fh, Ath) + bdot(Fh, Atl)
+                        else:
+                            G = bdot(Fh, Ath)
+                    G = G.reshape(Dz, Dy, S)
+                    t1 = (G * WYt[None, :, :]).sum(axis=1)   # (Dz, S)
+                    return (t1 * WZt).sum(axis=0)            # (S,)
 
             def fsl(z0, Dz, y0, Dy):
                 if nsub == 1:
@@ -275,15 +322,30 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
     Xp = _ceil_to(Xe, 128)
     Xb = _ceil_to(X, 128)
     cext = jnp.pad(c, ((0, 0), (0, Yp - Ye), (0, Xp - Xe)))
-    # hi/lo bf16 split hoisted to XLA: kernel window slices carry no casts.
-    # reduce_precision (not a convert pair) is immune to XLA's
-    # --xla_allow_excess_precision rewrite, which would elide
-    # f32(bf16(x)) and silently zero the lo correction term.
-    hi_f32 = jax.lax.reduce_precision(cext, exponent_bits=8,
-                                      mantissa_bits=7)
-    c_hi = hi_f32.astype(jnp.bfloat16)
-    c_lo = (cext - hi_f32).astype(jnp.bfloat16)
-    cext2 = jnp.stack([c_hi, c_lo])          # (2, Ze, Yp, Xp)
+    int8 = _int8_mode()
+    if int8:
+        # two int8 fixed-point limbs: c*(127/s) ~= F0 + F1/256 with
+        # s = max|c|; the matching 1/127 of the tap-weight quantization
+        # is undone by one post-scale on the kernel output
+        c_scale = jnp.maximum(jnp.max(jnp.abs(cext)), 1e-30)
+        q = cext * (127.0 / c_scale)
+        f0 = jnp.round(q)
+        f1 = jnp.clip(jnp.round((q - f0) * 256.0), -127.0, 127.0)
+        cext2 = jnp.stack([f0, f1]).astype(jnp.int8)   # (2, Ze, Yp, Xp)
+        out_scale = c_scale * (1.0 / (127.0 * 127.0))
+        win_dtype = jnp.int8
+    else:
+        # hi/lo bf16 split hoisted to XLA: kernel window slices carry no
+        # casts. reduce_precision (not a convert pair) is immune to XLA's
+        # --xla_allow_excess_precision rewrite, which would elide
+        # f32(bf16(x)) and silently zero the lo correction term.
+        hi_f32 = jax.lax.reduce_precision(cext, exponent_bits=8,
+                                          mantissa_bits=7)
+        c_hi = hi_f32.astype(jnp.bfloat16)
+        c_lo = (cext - hi_f32).astype(jnp.bfloat16)
+        cext2 = jnp.stack([c_hi, c_lo])          # (2, Ze, Yp, Xp)
+        out_scale = None
+        win_dtype = jnp.bfloat16
 
     z0 = jnp.floor(coord_z)
     y0 = jnp.floor(coord_y)
@@ -340,7 +402,9 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
         # buffered hi/lo window would blow VMEM at this Xp (wide-X volumes
         # keep the smaller tiers; windowed_ok guarantees at least tier 2
         # fits). 12.5 MiB leaves ~3.5 MiB for At/G/weight temporaries.
-        if 2 * 2 * geom[0] * geom[1] * Xp * 2 > int(12.5 * 2 ** 20):
+        # int8 limbs halve the per-element window cost.
+        elem_bytes = 1 if int8 else 2
+        if 2 * 2 * geom[0] * geom[1] * Xp * elem_bytes > int(12.5 * 2 ** 20):
             continue
         if geom not in seen:
             seen.add(geom)
@@ -372,7 +436,7 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
 
         def branch():
             kern = functools.partial(_kernel, L8, Dzg, Dyg, Dzl, Dyl,
-                                     n_taps, order, nsub)
+                                     n_taps, order, nsub, int8)
             line_spec = pl.BlockSpec((1, _LPG, Xb),
                                      lambda g, *_: (g, 0, 0))
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -382,7 +446,7 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
                 + [line_spec] * 6,
                 out_specs=line_spec,
                 scratch_shapes=[
-                    pltpu.VMEM((2, 2, Dzg, Dyg, Xp), jnp.bfloat16),
+                    pltpu.VMEM((2, 2, Dzg, Dyg, Xp), win_dtype),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             )
@@ -392,6 +456,8 @@ def map_coordinates_windowed(vol, coord_z, coord_y, coord_x, order=3,
                 out_shape=jax.ShapeDtypeStruct((L8, _LPG, Xb), jnp.float32),
                 interpret=interpret,
             )(win, cext2, lz, ly, padb(x0), padb(fz), padb(fy), padb(fx))
+            if out_scale is not None:
+                out = out * out_scale
             return out[:, :, :X].reshape(Z, Y, X)
 
         return valid, branch

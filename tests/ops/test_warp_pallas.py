@@ -157,3 +157,27 @@ def test_fits_whole_plane_budgets_actual_scratch():
     # the case from review: 416x256 planes must route to the y-tiled path
     assert not _fits_whole_plane(416, 256)
     assert not _fits_whole_plane(416, 256, planes=47)
+
+
+@pytest.mark.parametrize("order", [3, 1])
+def test_int8_fixed_point_path(order, monkeypatch):
+    """int8 two-limb contraction stays within ~1e-3 of the exact warp.
+
+    The int8 path trades the hi/lo bf16 3-pass contraction for three int8
+    limb products (error ~1e-4 of the volume max); gated by env at trace
+    time so one process can A/B it.
+    """
+    monkeypatch.setenv("FLOWREG3D_WARP_INT8", "1")
+    rng = np.random.default_rng(1)
+    Z, Y, X = 6, 16, 20
+    vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
+    zz, yy, xx = np.meshgrid(
+        np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    cz, cy, cx = _grids((Z, Y, X), 1.3 + 0.01 * yy, -0.7 + 0.02 * zz,
+                        0.4 + 0.015 * xx)
+    got = map_coordinates_windowed(vol, cz, cy, cx, order=order,
+                                   interpret=True)
+    ref = (W.map_coordinates_cubic if order == 3
+           else W.map_coordinates_linear)(vol, cz, cy, cx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
