@@ -211,7 +211,9 @@ def main():
     b = min(BOUNDARY, max(1, min(shape) // 4))
     rows = {}
     flows = {}
-    for phase in ("cpu", "tpu"):
+    # cpu = our f64 oracle; tpu = our f32 accelerator run; reftorch = the
+    # REFERENCE implementation's torch path (scripts/run_reference_torch.py)
+    for phase in ("cpu", "tpu", "reftorch"):
         p = outdir / f"flow_{phase}_{h}.npy"
         if p.exists():
             flows[phase] = np.load(p)
@@ -222,6 +224,9 @@ def main():
             evaluate_flow_accuracy(flows["tpu"], flows["cpu"], b))
         rows["max_abs_tpu_vs_cpu_oracle"] = float(
             np.abs(flows["tpu"] - flows["cpu"])[b:-b, b:-b, b:-b].max())
+    if "reftorch" in flows and "tpu" in flows:
+        rows["epe_tpu_vs_reference"] = float(
+            evaluate_flow_accuracy(flows["tpu"], flows["reftorch"], b))
         # the user-felt contract: the CORRECTED volumes. Flow components
         # can legitimately differ in weakly-constrained (textureless)
         # regions where the energy is flat; the registered outputs there
