@@ -74,14 +74,36 @@ def cmd_bench(args):
     fixed /= fixed.max()
     moving = np.roll(fixed, (1, 5, -4), axis=(0, 1, 2))
     gd = _ref_get_displacement()
+    from flowreg3d.core.torch.optical_flow_3d import imregister_wrapper
+
     params = PARAM_SETS[args.params]
     t0 = time.time()
-    gd(torch.from_numpy(fixed.copy()), torch.from_numpy(moving.copy()),
-       **params)
+    flow = gd(torch.from_numpy(fixed.copy()), torch.from_numpy(moving.copy()),
+              **params)
+    # apples-to-apples with bench.py's step: flow + the output warp.
+    # The reference's torch get_displacement returns float64 flow; its
+    # grid_sampler requires matching dtypes, so warp in float64 (the
+    # reference's own compensate path also upcasts, OF_options dtype).
+    mv64 = torch.from_numpy(moving.copy()).double()
+    imregister_wrapper(mv64, flow[..., 0], flow[..., 1], flow[..., 2],
+                       torch.from_numpy(fixed.copy()).double())
     dt = time.time() - t0
+    rate = 1.0 / dt
     print(f"reference torch CPU {args.params} {shape}: {dt:.1f} s/volume "
-          f"= {1.0 / dt:.5f} volumes/sec "
+          f"= {rate:.5f} volumes/sec "
           f"({torch.get_num_threads()} torch threads)")
+    if args.json_out:
+        import hashlib
+        import json
+
+        blob = json.dumps({"shape": list(shape), "params": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in params.items()}}, sort_keys=True)
+        h = hashlib.sha256(blob.encode()).hexdigest()[:16]
+        with open(args.json_out, "w") as fh:
+            json.dump({"hash_params": h, "volumes_per_sec": rate,
+                       "note": "REFERENCE implementation (torch backend) "
+                               "on host CPU, flow + output warp"}, fh)
 
 
 def cmd_flow(args):
@@ -104,6 +126,8 @@ def main():
     b = sub.add_parser("bench")
     b.add_argument("--shape", default="64,512,512")
     b.add_argument("--params", default="canonical", choices=PARAM_SETS)
+    b.add_argument("--json-out", default=None,
+                   help="write {hash_params, volumes_per_sec} JSON here")
     b.set_defaults(fn=cmd_bench)
     f = sub.add_parser("flow")
     f.add_argument("--inputs", required=True, help=".npz with fixed/moving")
