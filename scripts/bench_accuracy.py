@@ -177,7 +177,7 @@ def run_flow(fixed, moving, device_kind, dtype_name):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["cpu", "tpu", "report"])
+                    choices=["inputs", "cpu", "tpu", "report"])
     ap.add_argument("--shape", default="64,512,512")
     ap.add_argument("--params", default="canonical",
                     choices=sorted(PARAM_SETS))
@@ -190,9 +190,25 @@ def main():
     outdir = Path(args.out)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    if args.phase in ("cpu", "tpu"):
-        fixed, moving, flow_gt = make_case(shape)
-        np.save(outdir / f"flow_gt_{h}.npy", flow_gt)
+    if args.phase in ("inputs", "cpu", "tpu"):
+        # The case inputs are persisted so other processes (the TPU job
+        # queue, scripts/run_reference_torch.py) consume the EXACT same
+        # volumes; make_case is deterministic but regenerating it inside
+        # a device-holding session wastes claim time.
+        inp = outdir / f"inputs_{h}.npz"
+        if inp.exists():
+            data = np.load(inp)
+            fixed, moving = data["fixed"], data["moving"]
+            flow_gt = np.load(outdir / f"flow_gt_{h}.npy")
+        else:
+            fixed, moving, flow_gt = make_case(shape)
+            np.save(outdir / f"flow_gt_{h}.npy", flow_gt)
+            tmp = outdir / f"tmpinputs_{h}.npz"
+            np.savez(tmp, fixed=fixed, moving=moving)
+            tmp.replace(inp)
+        if args.phase == "inputs":
+            _log(f"saved inputs_{h}.npz")
+            return
         if args.phase == "cpu":
             flow = run_flow(fixed, moving, "cpu", "float64")
         else:

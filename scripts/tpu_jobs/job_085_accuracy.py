@@ -8,7 +8,7 @@ H = "010f81eff987af75"
 import os as _os
 _p = f"/tmp/acc_canonical/inputs_{H}.npz"
 _t0 = time.perf_counter()
-while not _os.path.exists(_p) and time.perf_counter() - _t0 < 5400:
+while not _os.path.exists(_p) and time.perf_counter() - _t0 < 1500:
     time.sleep(60)  # CPU oracle chain still writing the case inputs
 data = np.load(_p)
 fixed, moving = data["fixed"], data["moving"]
@@ -26,4 +26,4 @@ t0 = time.perf_counter()
 flow = np.asarray(jax.block_until_ready(pyr(fx, mv, u0, wt)))
 print(f"accuracy TPU flow in {time.perf_counter()-t0:.1f}s", flush=True)
 np.save(f"/tmp/acc_canonical/flow_tpu_{H}.npy", flow)
-print("job_060 done", flush=True)
+print("job_085 done", flush=True)

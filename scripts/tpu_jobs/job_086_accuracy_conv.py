@@ -7,7 +7,7 @@ from flowreg3d_tpu.core.pyramid import build_pyramid_raw, pyramid_config_key
 
 _t0 = time.perf_counter()
 paths = []
-while time.perf_counter() - _t0 < 5400:
+while time.perf_counter() - _t0 < 1500:
     paths = _glob.glob("/tmp/acc_conv_full/inputs_*.npz")
     if paths:
         break
