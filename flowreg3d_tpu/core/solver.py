@@ -98,7 +98,15 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
     """Jt: (10,p,m,n,C) stacked [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34]."""
     dtype = u.dtype
     _, p, m, n, C = Jt.shape
-    J11, J22, J33, J44, J12, J13, J23, J14, J24, J34 = [Jt[i] for i in range(10)]
+    # Channel-LEADING layout for every (…,C) intermediate: with C trailing,
+    # TPU XLA tiles the minor dims (n, C) as T(8,128) and pads C=1 -> 128 —
+    # measured 129x HBM expansion (66.5 MB -> 8.4 GB per temp) at a
+    # (66,514,514,1) level, OOMing the XLA fallback at full resolution.
+    # Leading C keeps the minor dims (m, n), which tile densely.
+    Jc = jnp.moveaxis(Jt, -1, 1)  # (10, C, p, m, n)
+    J11, J22, J33, J44, J12, J13, J23, J14, J24, J34 = [
+        Jc[i] for i in range(10)]
+    weight = jnp.moveaxis(weight, -1, 0)  # (C, p, m, n)
 
     # derive from the operands (not a zeros literal) so the loop carry is
     # typed as device-varying when any solver input varies under shard_map
@@ -113,12 +121,12 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
 
     red_mask, black_mask = _checkerboard_masks(p, m, n, dtype)
 
-    a_vec = a_data.reshape(1, 1, 1, C)
+    a_vec = a_data.reshape(C, 1, 1, 1)
 
     def tick_update(du, dv, dw):
-        du4 = du[..., None]
-        dv4 = dv[..., None]
-        dw4 = dw[..., None]
+        du4 = du[None]
+        dv4 = dv[None]
+        dw4 = dw[None]
         E = (J11 * du4 * du4 + J22 * dv4 * dv4 + J33 * dw4 * dw4
              + 2.0 * J12 * du4 * dv4 + 2.0 * J13 * du4 * dw4
              + 2.0 * J23 * dv4 * dw4
@@ -129,9 +137,9 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
                         jnp.ones_like(E))
         S = weight * psi
         return (
-            jnp.sum(S * J11, -1), jnp.sum(S * J22, -1), jnp.sum(S * J33, -1),
-            jnp.sum(S * J12, -1), jnp.sum(S * J13, -1), jnp.sum(S * J23, -1),
-            jnp.sum(S * J14, -1), jnp.sum(S * J24, -1), jnp.sum(S * J34, -1),
+            jnp.sum(S * J11, 0), jnp.sum(S * J22, 0), jnp.sum(S * J33, 0),
+            jnp.sum(S * J12, 0), jnp.sum(S * J13, 0), jnp.sum(S * J23, 0),
+            jnp.sum(S * J14, 0), jnp.sum(S * J24, 0), jnp.sum(S * J34, 0),
         )
 
     def smooth_weights(du, dv, dw):

@@ -54,13 +54,16 @@ _STACKED = os.environ.get("FLOWREG3D_WARP_STACK", "1") == "1"
 # int8 limb products (F0A0, F1A0 stacked + F0A1) instead of three bf16
 # passes — 1.5x the row-work at the int8 MXU's 2x rate, plus half the
 # window-DMA bytes. Accuracy ~1e-4 of the volume max (vs ~1e-5 bf16x3,
-# 1.4e-3 bf16x2). Gated off until the int8 rate is proven on hardware
-# (scripts/micro_int8.py). Read at TRACE time (not import) so A/B runs
-# can toggle it inside one process/device claim.
+# 1.4e-3 bf16x2). Proven on hardware 2026-08-20 (v5e, job_030/job_040):
+# raw int8 dot rate 1.3-1.65x bf16 at the warp's contraction shapes (the
+# nominal 2x does not materialize), full-warp A/B 200.9 -> 174.8 ms
+# (1.15x) at max abs err 5.0e-5 vs bf16x3 — adopted as the DEFAULT.
+# FLOWREG3D_WARP_INT8=0 restores the bf16x3 path. Read at TRACE time
+# (not import) so A/B runs can toggle it inside one process/device claim.
 
 
 def _int8_mode():
-    return os.environ.get("FLOWREG3D_WARP_INT8", "0") == "1"
+    return os.environ.get("FLOWREG3D_WARP_INT8", "1") == "1"
 
 from flowreg3d_tpu.ops.warp import _bspline_weights, bspline_prefilter
 

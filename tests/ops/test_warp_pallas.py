@@ -59,8 +59,14 @@ def test_cubic_matches_scipy():
 
 
 @pytest.mark.parametrize("order", [3, 1])
-def test_jagged_flow_falls_back_exactly(order):
-    """Window-violating flows must route to the row-gather fallback."""
+def test_jagged_flow_falls_back_exactly(order, monkeypatch):
+    """Window-violating flows must route to the row-gather fallback.
+
+    Pinned to the bf16x3 contraction: the contract under test is the
+    routing (fallback chunks bit-match the exact gather), and the 1e-5
+    gate would conflate that with the int8 default's ~1e-4 quantization
+    on the chunks that DO stay in-kernel."""
+    monkeypatch.setenv("FLOWREG3D_WARP_INT8", "0")
     rng = np.random.default_rng(2)
     Z, Y, X = 6, 16, 20
     vol = jnp.asarray(rng.random((Z, Y, X)), jnp.float32)
