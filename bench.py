@@ -434,6 +434,12 @@ def main():
         "value": round(result["rate"], 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vs_baseline, 2),
+        # explicit backend key so a CPU-fallback round can't be misread as
+        # a regression by JSON-only consumers (the vs_baseline denominator
+        # is the reference implementation measured on this host's CPU)
+        "backend": ("cpu" if result.get("hardware") == "cpu-fallback"
+                    else "tpu"),
+        "fallback": result.get("hardware") == "cpu-fallback",
     }))
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowreg3d_tpu.core.motion_tensor import MOTION_TENSORS
-from flowreg3d_tpu.core.solver import compute_flow_level
+from flowreg3d_tpu.core.solver import compute_flow_level_cl
 from flowreg3d_tpu.ops.filters import median_filter_5x5x5
 from flowreg3d_tpu.ops.resize import resize_volume
 from flowreg3d_tpu.ops.warp import imregister_wrapper
@@ -39,9 +39,10 @@ def _median(x, use_pallas):
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas:
+        from flowreg3d_tpu.core.solver import kernel_barrier
         from flowreg3d_tpu.ops.median_pallas import median_filter_5x5x5_pallas
 
-        return median_filter_5x5x5_pallas(x)
+        return kernel_barrier(median_filter_5x5x5_pallas(x))
     return median_filter_5x5x5(x)
 
 
@@ -170,19 +171,23 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
             if tmp.ndim == 3:
                 tmp = tmp[..., None]
 
+            # channel-LEADING (C,p,m,n) J/weight stacks: a trailing C=1
+            # axis would land minor-most and lane-pad 128x on TPU (see
+            # core/solver.py:_solve)
             J_ch = [motion_tensor(f1_level[..., c], tmp[..., c], hz, hy, hx)
                     for c in range(n_channels)]
-            J_entries = [jnp.stack([J_ch[c][k] for c in range(n_channels)], axis=-1)
-                         for k in range(10)]
+            J_entries = [jnp.stack([J_ch[c][k] for c in range(n_channels)],
+                                   axis=0) for k in range(10)]
 
             weight_level = resize_volume(weight, size, dtype=dtype)
             weight_level = jnp.pad(
-                weight_level, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="constant")
+                jnp.moveaxis(weight_level, -1, 0),
+                ((0, 0), (1, 1), (1, 1), (1, 1)), mode="constant")
 
             alpha_scaling = 1.0 if i == eff_min_level else eta ** (-0.5 * i)
             alpha_tmp = tuple(alpha_scaling * a for a in alpha)
 
-            du, dv, dw = compute_flow_level(
+            du, dv, dw = compute_flow_level_cl(
                 J_entries, weight_level, u, v, w, alpha_tmp,
                 iterations, update_lag, a_data_arr, a_smooth, hx, hy, hz,
                 use_pallas=use_pallas)

@@ -93,24 +93,27 @@ def _nbr(f):
 
 @partial(jax.jit, static_argnames=("iterations", "update_lag",
                                    "a_smooth_is_one", "use_pallas"))
-def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
+def _solve(Jc, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
            iterations, update_lag, a_smooth_is_one, use_pallas=False):
-    """Jt: (10,p,m,n,C) stacked [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34]."""
+    """Jc: (10,C,p,m,n) stacked [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34].
+
+    Channel-LEADING layout for every (C,…) array, including the jit-boundary
+    inputs: with C trailing, TPU XLA tiles the minor dims (n, C) as T(8,128)
+    and pads C=1 -> 128 lanes — measured 129x HBM expansion (66.5 MB ->
+    8.4 GB per temp) at a (66,514,514,1) level, OOMing the XLA fallback at
+    full resolution. Leading C keeps the minor dims (m, n), which tile
+    densely. Callers convert via compute_flow_level (public trailing-C
+    contract) or pass channel-leading directly (compute_flow_level_cl).
+    """
     dtype = u.dtype
-    _, p, m, n, C = Jt.shape
-    # Channel-LEADING layout for every (…,C) intermediate: with C trailing,
-    # TPU XLA tiles the minor dims (n, C) as T(8,128) and pads C=1 -> 128 —
-    # measured 129x HBM expansion (66.5 MB -> 8.4 GB per temp) at a
-    # (66,514,514,1) level, OOMing the XLA fallback at full resolution.
-    # Leading C keeps the minor dims (m, n), which tile densely.
-    Jc = jnp.moveaxis(Jt, -1, 1)  # (10, C, p, m, n)
+    _, C, p, m, n = Jc.shape
     J11, J22, J33, J44, J12, J13, J23, J14, J24, J34 = [
         Jc[i] for i in range(10)]
-    weight = jnp.moveaxis(weight, -1, 0)  # (C, p, m, n)
+    weight = weight.reshape(C, p, m, n)
 
     # derive from the operands (not a zeros literal) so the loop carry is
     # typed as device-varying when any solver input varies under shard_map
-    zero_seed = (u + Jt[0, ..., 0]) * jnp.zeros((), dtype)
+    zero_seed = (u + Jc[0, 0]) * jnp.zeros((), dtype)
     du = zero_seed
     dv = zero_seed
     dw = zero_seed
@@ -217,8 +220,8 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
         def block(state, _, k_iters):
             du, dv, dw = state
             SJ = tick_update(du, dv, dw)
-            du, dv, dw = sweep_iterations_pallas_psi(
-                du, dv, dw, u, v, w, SJ, params, int(k_iters))
+            du, dv, dw = kernel_barrier(*sweep_iterations_pallas_psi(
+                du, dv, dw, u, v, w, SJ, params, int(k_iters)))
             return (du, dv, dw), None
 
         state = (du, dv, dw)
@@ -245,8 +248,8 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
         def block(state, _, k_iters):
             du, dv, dw = state
             SJ = tick_update(du, dv, dw)
-            du, dv, dw = sweep_iterations_pallas(
-                du, dv, dw, u, v, w, SJ, params, int(k_iters))
+            du, dv, dw = kernel_barrier(*sweep_iterations_pallas(
+                du, dv, dw, u, v, w, SJ, params, int(k_iters)))
             return (du, dv, dw), None
 
         state = (du, dv, dw)
@@ -281,6 +284,23 @@ def _solve(Jt, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
     return du, dv, dw
 
 
+def kernel_barrier(*arrays):
+    """Optionally fence Pallas kernel outputs from XLA fusion.
+
+    FLOWREG3D_KERNEL_BARRIER=1 wraps each Pallas custom call's outputs in
+    ``jax.lax.optimization_barrier`` — the workaround knob for the XLA TPU
+    fusion-pass SIGABRT (absl raw_hash_map::at inside
+    AllowedFusionsWithCustomCallAsProducer) triggered by the min_level=0
+    full-resolution pyramid. Read at trace time; default off.
+    """
+    import os
+
+    if os.environ.get("FLOWREG3D_KERNEL_BARRIER") == "1":
+        out = jax.lax.optimization_barrier(arrays)
+        return out if len(arrays) > 1 else out[0]
+    return arrays if len(arrays) > 1 else arrays[0]
+
+
 def pallas_enabled():
     """Pallas half-sweeps run on real TPUs; XLA everywhere else.
 
@@ -305,7 +325,26 @@ def compute_flow_level(J_entries, weight, u, v, w, alpha, iterations,
     [J11,J22,J33,J44,J12,J13,J23,J14,J24,J34]; weight (p,m,n,C);
     u,v,w (p,m,n) accumulated flow (with one-voxel boundary ring);
     alpha 3-sequence; a_data (C,). Returns (du, dv, dw).
+
+    The trailing-C operands are converted to channel-leading OUTSIDE the
+    jit boundary (see _solve's docstring for the TPU layout rationale);
+    in-jit callers that already hold per-channel (p,m,n) entries should
+    use ``compute_flow_level_cl`` and skip the transposes entirely.
     """
+    dtype = u.dtype
+    Jc = [jnp.moveaxis(jnp.asarray(j, dtype), -1, 0) for j in J_entries]
+    wc = jnp.moveaxis(jnp.asarray(weight, dtype), -1, 0)
+    return compute_flow_level_cl(Jc, wc, u, v, w, alpha, iterations,
+                                 update_lag, a_data, a_smooth, hx, hy, hz,
+                                 use_pallas=use_pallas)
+
+
+def compute_flow_level_cl(J_entries, weight, u, v, w, alpha, iterations,
+                          update_lag, a_data, a_smooth, hx, hy, hz,
+                          use_pallas=None):
+    """Channel-leading variant: J_entries are 10 arrays (C,p,m,n), weight
+    (C,p,m,n) — the TPU-native layout (no degenerate minor dims; see
+    _solve). Semantics identical to ``compute_flow_level``."""
     dtype = u.dtype
     Jt = jnp.stack(J_entries).astype(dtype)
     a_data = jnp.asarray(a_data, dtype)

@@ -269,7 +269,10 @@ def imregister_wrapper(f2_level, u, v, w, f1_level,
 
     if use_pallas is not False and warp_pallas.windowed_ok((Z, Y, X), order):
         def sample(vol, cz, cy, cx, _o=order):
-            return warp_pallas.map_coordinates_windowed(vol, cz, cy, cx, _o)
+            from flowreg3d_tpu.core.solver import kernel_barrier
+
+            return kernel_barrier(
+                warp_pallas.map_coordinates_windowed(vol, cz, cy, cx, _o))
 
     chans = [sample(f2[..., c], cz, cy, cx) for c in range(C)]
     warped = jnp.stack(chans, axis=-1)

@@ -50,6 +50,10 @@ class RegistrationConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output directory
     prefetch: int = 2  # host-side read-ahead batches (0 disables)
     async_write: bool = True  # background-thread output writing
+    # device-resident batch engine (pipeline/device_pipeline.py): None =
+    # auto (on whenever the configuration supports it), False = force the
+    # legacy host-staged path, True = require (raise if unsupported)
+    device_resident: Optional[bool] = None
     # deep-flow plug-in: a get_displacement-protocol callable, or the name
     # of a backend registered via runtime.register_flow_backend; None = the
     # built-in variational solver
@@ -84,6 +88,7 @@ class BatchMotionCorrector:
         self.progress_callbacks: List[Callable[[int, Optional[int]], None]] = []
         self._progress: Dict[str, Tuple[int, Optional[int]]] = {}
         self._total_frames: Optional[int] = None
+        self._resident = None
 
         self._setup_executor()
 
@@ -206,6 +211,88 @@ class BatchMotionCorrector:
             except Exception:
                 pass  # callbacks must not break the pipeline (ref :201-456)
 
+    # -- device-resident engine (pipeline/device_pipeline.py) ---------------
+
+    def _setup_resident(self):
+        """Build the device-resident batch engine when the config allows it.
+
+        Falls back to the legacy host-staged path (and warns) on any
+        construction failure unless ``config.device_resident is True``.
+        """
+        from flowreg3d_tpu.pipeline.device_pipeline import (
+            ResidentPipeline, resident_supported)
+
+        self._resident = None
+        if not resident_supported(self.options, self.config, self.executor):
+            if self.config.device_resident is True:
+                raise ValueError(
+                    "device_resident=True but the configuration requires "
+                    "the host-staged path (custom preproc/backend, "
+                    "cc_initialization, or spatial executor)")
+            return
+        try:
+            from flowreg3d_tpu.parallel.executors import _config_key
+
+            flow_params = self._flow_params()
+            key = _config_key(
+                self.reference_proc if self.reference_proc.ndim == 4
+                else self.reference_proc[..., None],
+                flow_params, getattr(self.executor, "dtype", None)
+                or "float32")
+            weight_vol = self.executor._weight_volume(
+                flow_params,
+                self.reference_proc if self.reference_proc.ndim == 4
+                else self.reference_proc[..., None])
+            mode = "mesh" if self.executor.name == "mesh" else "single"
+            self._resident = ResidentPipeline(
+                self.options, self.reference_raw, self.reference_proc,
+                weight_vol, key, mode=mode,
+                mesh=getattr(self.executor, "mesh", None),
+                chunk=getattr(self.executor, "chunk", None),
+                voxel_budget=getattr(self.executor, "voxel_budget", 2.0e7))
+        except Exception as e:
+            if self.config.device_resident is True:
+                raise
+            warnings.warn(f"device-resident pipeline unavailable ({e}); "
+                          "using the host-staged path")
+            self._resident = None
+
+    def _process_batch_resident(self, batch):
+        """One batch through the resident engine; returns (registered_np,
+        flows_d, stats (T,4) np, valid (T,) np.bool_, mask_d or None)."""
+        import jax.numpy as jnp
+
+        st = self._resident
+        raw_d, proc_d = st.upload_and_preprocess(batch)
+        if self.w_init is None:
+            cb = ((lambda n: self._notify(n, "initial_w"))
+                  if self.progress_callbacks else None)
+            self.w_init = st.initial_w(proc_d, min(22, batch.shape[0]),
+                                       progress_callback=cb)
+        current = (self.w_init if self.options.update_initialization_w
+                   else st.zero_w)
+        cb = ((lambda n: self._notify(n)) if self.progress_callbacks
+              else None)
+        flows_d = st.flows(proc_d, current, progress_callback=cb)
+        want_mask = (self.valid_writer is not None)
+        reg_d, stats_d, valid_d, mask_d = st.finalize(
+            raw_d, flows_d, want_mask=want_mask)
+        if self.options.update_initialization_w:
+            self.w_init = st.tail_mean(flows_d, 20)
+        if self.options.update_reference:
+            st.update_reference(proc_d, flows_d)
+            self.reference_proc = None  # stale; re-mirrored on demand
+        registered = st.download_registered(reg_d)
+        return (registered, flows_d, np.asarray(stats_d),
+                np.asarray(valid_d), mask_d)
+
+    def _sync_reference_from_device(self):
+        if self._resident is not None and self._resident._ref_dirty:
+            self.reference_proc = self._resident.ref_proc_np()
+            self._resident._ref_dirty = False
+        elif self.reference_proc is None and self._resident is not None:
+            self.reference_proc = self._resident.ref_proc_np()
+
     # -- batch processing ---------------------------------------------------
 
     def _flow_params(self):
@@ -287,8 +374,10 @@ class BatchMotionCorrector:
         if not self.config.checkpoint \
                 or self.options.output_format == OutputFormat.ARRAY:
             return
+        self._sync_reference_from_device()
         np.savez(self._checkpoint_path(), frames_done=frames_done,
-                 w_init=self.w_init if self.w_init is not None else 0,
+                 w_init=np.asarray(self.w_init)
+                 if self.w_init is not None else 0,
                  reference_raw=self.reference_raw,
                  reference_proc=self.reference_proc,
                  mean_disp=np.asarray(self.mean_disp),
@@ -349,6 +438,8 @@ class BatchMotionCorrector:
         else:
             seeked_frames = 0
 
+        self._setup_resident()
+
         if self.config.verbose:
             print(f"Starting compensation with "
                   f"quality={self.options.quality_setting.value}, "
@@ -367,44 +458,63 @@ class BatchMotionCorrector:
                     total_frames += batch.shape[0]
                     continue
 
-                batch_proc = self._preprocess_frames(
-                    batch, normalization_ref=self.reference_raw)
-
-                if self.w_init is None:
-                    self.w_init = self._compute_initial_w(batch, batch_proc)
-
-                current_w_init = (self.w_init
-                                  if self.options.update_initialization_w
-                                  else np.zeros_like(self.w_init))
-
-                registered, w = self._process_batch(batch, batch_proc,
-                                                    current_w_init)
-
-                if self.options.update_initialization_w:
-                    tail = w[-20:] if w.shape[0] > 20 else w
-                    self.w_init = np.mean(tail, axis=0)
-
-                stats = flow_statistics(w)
-                self.mean_disp.extend(stats["mean_disp"])
-                self.max_disp.extend(stats["max_disp"])
-                self.mean_div.extend(stats["mean_div"])
-                self.mean_translation.extend(stats["mean_translation"])
-
-                self.video_writer.write_frames(registered)
-                if self.options.save_w and self.w_writer is not None:
-                    self.w_writer.write_frames(w)
-                if self.valid_writer is not None \
-                        or getattr(self.options, "save_valid_idx", False):
-                    mask = self._valid_mask(w)
-                    if self.valid_writer is not None:
+                if self._resident is not None:
+                    (registered, flows_d, stats_arr, valid_arr,
+                     mask_d) = self._process_batch_resident(batch)
+                    self.mean_disp.extend(stats_arr[:, 0].tolist())
+                    self.max_disp.extend(stats_arr[:, 1].tolist())
+                    self.mean_div.extend(stats_arr[:, 2].tolist())
+                    self.mean_translation.extend(stats_arr[:, 3].tolist())
+                    self.video_writer.write_frames(registered)
+                    if self.options.save_w and self.w_writer is not None:
+                        # the one case where full flows cross the link
+                        self.w_writer.write_frames(
+                            np.asarray(flows_d, np.float32))
+                    if self.valid_writer is not None and mask_d is not None:
                         self.valid_writer.write_frames(
-                            mask[..., None].astype(np.uint8))
+                            np.asarray(mask_d)[..., None].astype(np.uint8))
                     if getattr(self.options, "save_valid_idx", False):
-                        self.valid_idx.extend(
-                            mask.all(axis=(1, 2, 3)).tolist())
+                        self.valid_idx.extend(valid_arr.tolist())
+                else:
+                    batch_proc = self._preprocess_frames(
+                        batch, normalization_ref=self.reference_raw)
 
-                if self.options.update_reference:
-                    self._update_reference(batch_proc, w)
+                    if self.w_init is None:
+                        self.w_init = self._compute_initial_w(batch,
+                                                              batch_proc)
+
+                    current_w_init = (self.w_init
+                                      if self.options.update_initialization_w
+                                      else np.zeros_like(self.w_init))
+
+                    registered, w = self._process_batch(batch, batch_proc,
+                                                        current_w_init)
+
+                    if self.options.update_initialization_w:
+                        tail = w[-20:] if w.shape[0] > 20 else w
+                        self.w_init = np.mean(tail, axis=0)
+
+                    stats = flow_statistics(w)
+                    self.mean_disp.extend(stats["mean_disp"])
+                    self.max_disp.extend(stats["max_disp"])
+                    self.mean_div.extend(stats["mean_div"])
+                    self.mean_translation.extend(stats["mean_translation"])
+
+                    self.video_writer.write_frames(registered)
+                    if self.options.save_w and self.w_writer is not None:
+                        self.w_writer.write_frames(w)
+                    if self.valid_writer is not None \
+                            or getattr(self.options, "save_valid_idx", False):
+                        mask = self._valid_mask(w)
+                        if self.valid_writer is not None:
+                            self.valid_writer.write_frames(
+                                mask[..., None].astype(np.uint8))
+                        if getattr(self.options, "save_valid_idx", False):
+                            self.valid_idx.extend(
+                                mask.all(axis=(1, 2, 3)).tolist())
+
+                    if self.options.update_reference:
+                        self._update_reference(batch_proc, w)
 
                 total_frames += registered.shape[0]
                 self._save_checkpoint(total_frames)

@@ -1,0 +1,389 @@
+"""Device-resident batch pipeline: raw frames up once, registered down once.
+
+The corrector's legacy path round-trips host numpy between every stage
+(preprocess -> flow -> warp -> statistics), moving ~600 MB of host<->device
+traffic per canonical 64x512x512 frame. This module keeps the whole batch on
+device, treating the host<->device link as the scarce resource:
+
+  upload raw batch once (native dtype; u16 = 33 MB/frame at canonical shape)
+    -> preprocess program  (normalize vs reference range + Gaussian, f32,
+                            including the temporal sigma across the batch)
+    -> flow chunk program  (full pyramid per frame via lax.map, shared w_init)
+    -> finalize program    (cubic warp of the raw frame, native-dtype cast,
+                            per-frame stats, in-bounds valid reduction)
+  download registered batch (native dtype) + a (T,4) stats array.
+
+Flows, the w_init tail-mean propagation, reference updates, and valid masks
+all stay on device; full flow fields only cross the link when ``save_w`` (or
+a valid-mask writer) asks for them.
+
+Parity: the reference's loop (compensate_recording_3D.py:431-557) runs these
+stages in one address space; this is its TPU analogue. Statistics parity:
+compensate_recording_3D.py:487-508; w_init tail-mean: :481-485; initial-w
+mean of the first <=22 frames: :342-393; reference update of <=100 frames:
+:395-429.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowreg3d_tpu.core.pyramid import build_pyramid_raw
+from flowreg3d_tpu.ops.filters import apply_gaussian_filter
+from flowreg3d_tpu.ops.gradients import divergence
+from flowreg3d_tpu.ops.warp import imregister_wrapper
+
+__all__ = ["ResidentPipeline", "resident_supported"]
+
+
+def resident_supported(options, config, executor) -> bool:
+    """True when the batch can run fully device-resident.
+
+    Host-protocol hooks (a user ``preproc_funct``, an external deep-flow
+    backend) and the cc-prealignment pipeline keep the legacy host-staged
+    path; the spatial (Z-sharded) executor drives frames itself.
+    """
+    if getattr(config, "device_resident", None) is False:
+        return False
+    if options.preproc_funct is not None:
+        return False
+    if config.get_displacement_func is not None:
+        return False
+    if config.flow_backend not in (None, "", "variational"):
+        return False
+    if getattr(options, "cc_initialization", False):
+        return False
+    return executor.name in ("sequential", "batched", "mesh")
+
+
+# -- compiled program builders (cached per static config) ---------------------
+
+
+@lru_cache(maxsize=16)
+def _jit_preprocess_batch(sigma_key, norm_mode):
+    """(T,Z,Y,X,C) any-dtype batch -> f32 preprocessed batch.
+
+    ``lo``/``hi`` carry the reference volume's per-channel (or global) range;
+    the normalize semantics mirror ops.filters.normalize with ``ref`` set
+    (reference util/image_processing_3D.py:12-92), the Gaussian is the
+    MATLAB-order chain of :95-162 including the temporal component across T.
+    """
+    sigma = np.asarray(sigma_key, np.float64)
+
+    def run(raw, lo, hi):
+        x = raw.astype(jnp.float32)
+        if norm_mode == "separate":
+            rng = hi - lo
+            safe = jnp.where(rng > 0, rng, 1.0)
+            normed = (x - lo) / safe
+        else:
+            normed = (x - lo) / (hi - lo + 1e-8)
+        return apply_gaussian_filter(normed, sigma)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _jit_flow_chunk_shared(config_key):
+    """lax.map of the unbatched pyramid over a frame chunk, one shared
+    w_init (the Pallas solver/warp stay on their single-frame fast paths —
+    they do not lower under a vmap batch dim)."""
+    pyramid = build_pyramid_raw(*config_key)
+
+    def chunk(ref_proc, batch_proc, w_init, weight):
+        return jax.lax.map(lambda f: pyramid(ref_proc, f, w_init, weight),
+                           batch_proc)
+
+    return jax.jit(chunk)
+
+
+def _finalize_one(interp, out_dtype_name, device_cast, want_mask):
+    out_dtype = jnp.dtype(out_dtype_name) if device_cast else jnp.float32
+    integer = device_cast and jnp.issubdtype(out_dtype, jnp.integer)
+    info = np.iinfo(out_dtype_name) if integer else None
+
+    def one(raw, flow, ref_raw):
+        reg = imregister_wrapper(
+            raw.astype(jnp.float32), flow[..., 0], flow[..., 1],
+            flow[..., 2], ref_raw, interpolation_method=interp)
+        if integer:
+            reg_c = jnp.clip(jnp.rint(reg), info.min, info.max).astype(
+                out_dtype)
+        else:
+            reg_c = reg.astype(out_dtype)
+        mag = jnp.linalg.norm(flow, axis=-1)
+        stats = jnp.stack([
+            mag.mean(), mag.max(), divergence(flow).mean(),
+            jnp.linalg.norm(flow.mean(axis=(0, 1, 2)))])
+        Z, Y, X = flow.shape[:3]
+        gz = jnp.arange(Z, dtype=flow.dtype)[:, None, None]
+        gy = jnp.arange(Y, dtype=flow.dtype)[None, :, None]
+        gx = jnp.arange(X, dtype=flow.dtype)[None, None, :]
+        mx = gx + flow[..., 0]
+        my = gy + flow[..., 1]
+        mz = gz + flow[..., 2]
+        inb = ((mx >= 0) & (mx < X) & (my >= 0) & (my < Y)
+               & (mz >= 0) & (mz < Z))
+        if want_mask:
+            return reg_c, stats, inb.all(), inb
+        return reg_c, stats, inb.all()
+
+    return one
+
+
+@lru_cache(maxsize=16)
+def _jit_finalize_chunk(interp, out_dtype_name, device_cast, want_mask):
+    """Warp the raw chunk by its flows, cast to the output dtype on device,
+    and reduce per-frame statistics + in-bounds validity in the same
+    program (stats parity: pipeline.stats / reference :487-508)."""
+    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask)
+
+    def chunk(batch_raw, flows, ref_raw):
+        return jax.lax.map(lambda a: one(a[0], a[1], ref_raw),
+                           (batch_raw, flows))
+
+    return jax.jit(chunk)
+
+
+@lru_cache(maxsize=8)
+def _jit_flow_mesh(config_key, mesh_devices):
+    """shard_map of the shared-w_init flow step over a 1-D batch mesh."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(list(mesh_devices)), ("batch",))
+    pyramid = build_pyramid_raw(*config_key)
+
+    def local(batch_proc, ref_proc, w_init, weight):
+        flows = [pyramid(ref_proc, batch_proc[t], w_init, weight)
+                 for t in range(batch_proc.shape[0])]
+        return jnp.stack(flows)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("batch"), P(), P(), P()),
+                   out_specs=P("batch"))
+    return jax.jit(fn), mesh
+
+
+@lru_cache(maxsize=8)
+def _jit_finalize_mesh(interp, out_dtype_name, device_cast, want_mask,
+                       mesh_devices):
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(list(mesh_devices)), ("batch",))
+    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask)
+
+    def local(batch_raw, flows, ref_raw):
+        outs = [one(batch_raw[t], flows[t], ref_raw)
+                for t in range(batch_raw.shape[0])]
+        return tuple(jnp.stack(parts) for parts in zip(*outs))
+
+    n_out = 4 if want_mask else 3
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("batch"), P("batch"), P()),
+                   out_specs=tuple(P("batch") for _ in range(n_out)))
+    return jax.jit(fn), mesh
+
+
+@lru_cache(maxsize=8)
+def _jit_update_reference(interp, n):
+    """Mean of the last ``n`` compensated (preprocessed) frames — the
+    reference-update rule of compensate_recording_3D.py:395-429, kept on
+    device (proc frames and flows never reach the host)."""
+
+    def run(proc_tail, flows_tail, ref_proc):
+        comp = jax.lax.map(
+            lambda a: imregister_wrapper(
+                a[0], a[1][..., 0], a[1][..., 1], a[1][..., 2], ref_proc,
+                interpolation_method=interp),
+            (proc_tail, flows_tail))
+        return comp.mean(axis=0)
+
+    return jax.jit(run)
+
+
+def _pad_batch(arr, k):
+    """Pad axis 0 up to a multiple of k (edge-repeat); returns (padded, n)."""
+    T = arr.shape[0]
+    pad = (-T) % k
+    if pad == 0:
+        return arr, T
+    reps = np.concatenate([np.arange(T), np.full(pad, T - 1)])
+    return arr[reps], T
+
+
+class ResidentPipeline:
+    """Per-run device state + the compiled stage programs.
+
+    ``mode``: 'single' (sequential/batched executors; chunked lax.map on one
+    device) or 'mesh' (frames shard_map-ed over a 1-D batch mesh, reference
+    volumes replicated — the w_init tail-mean later crosses shards over ICI,
+    never the host).
+    """
+
+    def __init__(self, options, reference_raw, reference_proc, weight,
+                 config_key, mode="single", mesh=None,
+                 chunk=None, voxel_budget=2.0e7):
+        self.options = options
+        self.key = config_key
+        self.mode = mode
+        self.interp = options.interpolation_method.value
+        self.chunk = chunk
+        self.voxel_budget = voxel_budget
+        self._mesh_devices = (tuple(mesh.devices.ravel().tolist())
+                              if mesh is not None else None)
+        self.n_devices = len(self._mesh_devices) if self._mesh_devices else 1
+
+        ref = np.asarray(reference_raw)
+        if ref.ndim == 3:
+            ref = ref[..., None]
+        self._shape = ref.shape  # (Z,Y,X,C)
+        self.ref_raw_d = jnp.asarray(ref.astype(np.float32))
+        rp = np.asarray(reference_proc, np.float32)
+        if rp.ndim == 3:
+            rp = rp[..., None]
+        self.ref_proc_d = jnp.asarray(rp)
+        self.weight_d = jnp.asarray(np.asarray(weight, np.float32))
+        self.zero_w = jnp.zeros(ref.shape[:3] + (3,), jnp.float32)
+        self._ref_dirty = False
+
+        # normalization range from the raw reference volume (host, once)
+        self._norm_mode = ("separate"
+                           if str(options.channel_normalization.value)
+                           == "separate" else "together")
+        ref64 = ref.astype(np.float64)
+        if self._norm_mode == "separate":
+            caxes = tuple(range(ref64.ndim - 1))
+            lo = ref64.min(axis=caxes)
+            hi = ref64.max(axis=caxes)
+        else:
+            lo = ref64.min()
+            hi = ref64.max()
+        self._lo = jnp.asarray(np.asarray(lo, np.float32))
+        self._hi = jnp.asarray(np.asarray(hi, np.float32))
+        self._sigma_key = tuple(
+            map(tuple, np.atleast_2d(np.asarray(options.sigma, float))))
+
+    # -- stage drivers ------------------------------------------------------
+
+    def _chunk_size(self, T):
+        if self.chunk:
+            k = max(1, int(self.chunk))
+        else:
+            Z, Y, X, C = self._shape
+            voxels = Z * Y * X * max(1, C)
+            k = max(1, min(T, int(self.voxel_budget // max(voxels, 1))))
+        if self.mode == "mesh":
+            k = max(self.n_devices, (k // self.n_devices) * self.n_devices)
+        return min(k, T if self.mode != "mesh"
+                   else -(-T // self.n_devices) * self.n_devices)
+
+    def upload_and_preprocess(self, batch):
+        """Host batch (T,Z,Y,X[,C]) native dtype -> (raw_d, proc_d)."""
+        batch = np.asarray(batch)
+        if batch.ndim == 4:
+            batch = batch[..., None]
+        self._in_dtype = batch.dtype
+        canon = jax.dtypes.canonicalize_dtype(batch.dtype)
+        self._device_cast = np.dtype(canon) == batch.dtype
+        raw_d = jnp.asarray(batch)  # native dtype up; canonicalized if f64
+        proc_d = _jit_preprocess_batch(self._sigma_key, self._norm_mode)(
+            raw_d, self._lo, self._hi)
+        return raw_d, proc_d
+
+    def flows(self, proc_d, w_init, progress_callback=None):
+        """(T,...) proc frames -> (T,Z,Y,X,3) flows, all on device."""
+        T = proc_d.shape[0]
+        k = self._chunk_size(T)
+        w_init_d = jnp.asarray(w_init, jnp.float32)
+        if self.mode == "mesh":
+            fn, _ = _jit_flow_mesh(self.key, self._mesh_devices)
+            padded, n = _pad_batch(proc_d, k)
+            out = []
+            for t0 in range(0, padded.shape[0], k):
+                out.append(fn(padded[t0:t0 + k], self.ref_proc_d, w_init_d,
+                              self.weight_d))
+                if progress_callback:
+                    progress_callback(min(k, max(0, n - t0)))
+            return jnp.concatenate(out)[:n] if len(out) > 1 else out[0][:n]
+        fn = _jit_flow_chunk_shared(self.key)
+        padded, n = _pad_batch(proc_d, k)
+        out = []
+        for t0 in range(0, padded.shape[0], k):
+            out.append(fn(self.ref_proc_d, padded[t0:t0 + k], w_init_d,
+                          self.weight_d))
+            if progress_callback:
+                progress_callback(min(k, max(0, n - t0)))
+        return jnp.concatenate(out)[:n] if len(out) > 1 else out[0][:n]
+
+    def finalize(self, raw_d, flows_d, want_mask=False):
+        """Warp+cast+stats+valid for the whole batch.
+
+        Returns (reg_d native-dtype, stats_d (T,4), valid_d (T,) bool,
+        mask_d (T,Z,Y,X) bool or None) — all device arrays.
+        """
+        T = raw_d.shape[0]
+        k = self._chunk_size(T)
+        out_name = np.dtype(self._in_dtype).name if self._device_cast \
+            else "float32"
+        if self.mode == "mesh":
+            fn, _ = _jit_finalize_mesh(self.interp, out_name,
+                                       self._device_cast, want_mask,
+                                       self._mesh_devices)
+        else:
+            fn = _jit_finalize_chunk(self.interp, out_name,
+                                     self._device_cast, want_mask)
+        raw_p, n = _pad_batch(raw_d, k)
+        flows_p, _ = _pad_batch(flows_d, k)
+        outs = []
+        for t0 in range(0, raw_p.shape[0], k):
+            outs.append(fn(raw_p[t0:t0 + k], flows_p[t0:t0 + k],
+                           self.ref_raw_d))
+        parts = [jnp.concatenate(p)[:n] if len(outs) > 1 else p[0][:n]
+                 for p in zip(*outs)]
+        reg_d, stats_d, valid_d = parts[:3]
+        mask_d = parts[3] if want_mask else None
+        return reg_d, stats_d, valid_d, mask_d
+
+    def download_registered(self, reg_d):
+        """Device registered batch -> host numpy in the input dtype."""
+        reg = np.asarray(reg_d)
+        if reg.dtype != self._in_dtype:  # non-canonical dtype: host cast
+            if np.issubdtype(self._in_dtype, np.integer):
+                info = np.iinfo(self._in_dtype)
+                reg = np.clip(np.rint(reg), info.min, info.max).astype(
+                    self._in_dtype)
+            else:
+                reg = reg.astype(self._in_dtype)
+        return reg
+
+    # -- small on-device reductions ----------------------------------------
+
+    def initial_w(self, proc_d, n, progress_callback=None):
+        """Mean flow of the first ``n`` frames from a zero init
+        (reference :342-393)."""
+        flows = self.flows(proc_d[:n], self.zero_w,
+                           progress_callback=progress_callback)
+        return jnp.mean(flows, axis=0)
+
+    @staticmethod
+    def tail_mean(flows_d, n=20):
+        """w_init propagation: mean of the last <=n flows (reference
+        :481-485), computed where the flows live."""
+        tail = flows_d[-n:] if flows_d.shape[0] > n else flows_d
+        return jnp.mean(tail, axis=0)
+
+    def update_reference(self, proc_d, flows_d):
+        n = min(100, proc_d.shape[0])
+        if n < 1:
+            return
+        fn = _jit_update_reference(self.interp, n)
+        self.ref_proc_d = fn(proc_d[-n:], flows_d[-n:], self.ref_proc_d)
+        self._ref_dirty = True
+
+    def ref_proc_np(self):
+        """Host mirror of the (possibly updated) processed reference."""
+        return np.asarray(self.ref_proc_d, np.float64)

@@ -161,7 +161,12 @@ def run_flow(fixed, moving, device_kind, dtype_name):
     _log(f"running {dtype_name} pyramid on {device}")
 
     shape = fixed.shape
+    # use_pallas must be pinned for the CPU phase: pallas_enabled() keys on
+    # the DEFAULT backend, which is 'axon' whenever the TPU service is up —
+    # the f64 CPU oracle would otherwise trace TPU kernels (x64 trace error)
     key = pyramid_config_key(shape, 1, dtype=np.dtype(dtype_name),
+                             use_pallas=(False if device_kind == "cpu"
+                                         else None),
                              **FLOW_PARAMS)
     pyramid = jax.jit(build_pyramid_raw(*key), device=device)
     fx = jax.device_put(np.asarray(fixed, dtype_name)[..., None], device)
@@ -196,14 +201,18 @@ def main():
         # volumes; make_case is deterministic but regenerating it inside
         # a device-holding session wastes claim time.
         inp = outdir / f"inputs_{h}.npz"
-        if inp.exists():
+        gt = outdir / f"flow_gt_{h}.npy"
+        if inp.exists() and gt.exists():
             data = np.load(inp)
             fixed, moving = data["fixed"], data["moving"]
-            flow_gt = np.load(outdir / f"flow_gt_{h}.npy")
+            flow_gt = np.load(gt)
         else:
+            # regenerate when EITHER cache file is missing (a partially
+            # cleaned outdir must not raise); tmp name is per-process so
+            # concurrent phase runs can't truncate each other mid-write
             fixed, moving, flow_gt = make_case(shape)
-            np.save(outdir / f"flow_gt_{h}.npy", flow_gt)
-            tmp = outdir / f"tmpinputs_{h}.npz"
+            np.save(gt, flow_gt)
+            tmp = outdir / f"tmpinputs_{h}.{os.getpid()}.npz"
             np.savez(tmp, fixed=fixed, moving=moving)
             tmp.replace(inp)
         if args.phase == "inputs":

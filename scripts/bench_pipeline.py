@@ -107,6 +107,15 @@ CONFIGS = {
 }
 
 
+def _effective_min_level(cfg):
+    """One source of truth: OFOptions' preset mapping (of_options.py),
+    not a local hardcode that can drift from it."""
+    from flowreg3d_tpu.pipeline import OFOptions
+
+    return OFOptions(quality_setting=cfg["quality"],
+                     min_level=cfg["min_level"]).effective_min_level
+
+
 def run_pipeline(tmp, shape, n_frames, cfg_name, batch_size):
     from flowreg3d_tpu.pipeline import (OFOptions, RegistrationConfig,
                                         compensate_recording)
@@ -174,9 +183,7 @@ def run_device_only(shape, n_steps, cfg_name):
     from flowreg3d_tpu.ops.warp import imregister_wrapper
 
     cfg = CONFIGS[cfg_name]
-    min_level = cfg["min_level"]
-    if min_level < 0:  # quality presets: balanced = 4
-        min_level = {"balanced": 4, "fast": 6, "quality": 0}[cfg["quality"]]
+    min_level = _effective_min_level(cfg)
     key = pyramid_config_key(
         shape, 1, alpha=cfg["alpha"], update_lag=cfg["update_lag"],
         iterations=cfg["iterations"], min_level=min_level,

@@ -52,7 +52,9 @@ for mode in ("0", "1"):
     dt = (time.perf_counter() - t0) / 5
     results[mode] = (dt, np.asarray(out))
     print(f"int8={mode}: {dt*1e3:.1f} ms/warp", flush=True)
-os.environ["FLOWREG3D_WARP_INT8"] = "0"
+# restore the shipped default (int8 on) for every later job in this server
+# session — leaving "0" here made jobs 050+ run the non-default bf16x3 path
+os.environ.pop("FLOWREG3D_WARP_INT8", None)
 
 d = np.abs(results["0"][1] - results["1"][1])
 ref = np.abs(results["0"][1]).max()

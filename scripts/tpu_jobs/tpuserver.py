@@ -1,6 +1,17 @@
 """Persistent TPU session: executes /tmp/tpujobs/job_*.py in order in one
-namespace; writes job_N.out when done. Holds the device claim for the session."""
-import glob, io, os, sys, time, traceback, contextlib
+namespace; writes job_N.out when done. Holds the device claim for the session.
+
+Round-5 addition: every job's outcome is appended to the repo-tracked
+``BENCH_JOBS.jsonl`` (job name, status, duration, and whatever dict the job
+left in ``RECORD``), so measured results land in the repository instead of
+living only in /tmp — the round-4 failure mode where three capability-level
+discoveries sat unrecorded in job outputs.
+
+Jobs that need freshly edited package code should drop cached modules first:
+    for m in [k for k in list(sys.modules) if k.startswith("flowreg3d_tpu")]:
+        del sys.modules[m]
+"""
+import glob, io, json, os, sys, time, traceback, contextlib
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -9,7 +20,9 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 import numpy as np
 
-ns = {"jax": jax, "jnp": jnp, "np": np, "time": time}
+JOBS_LOG = "/root/repo/BENCH_JOBS.jsonl"
+
+ns = {"jax": jax, "jnp": jnp, "np": np, "time": time, "sys": sys, "os": os}
 dev = jax.devices()[0]
 ns["dev"] = dev
 t0 = time.perf_counter()
@@ -30,6 +43,7 @@ while True:
         out = j[:-3] + ".out"
         buf = io.StringIO()
         t0 = time.perf_counter()
+        ns.pop("RECORD", None)
         try:
             code = open(j).read()
             with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
@@ -38,5 +52,19 @@ while True:
         except Exception:
             buf.write(traceback.format_exc())
             status = "ERR"
-        open(out, "w").write(f"[{status} {time.perf_counter()-t0:.1f}s]\n" + buf.getvalue())
+        dt = time.perf_counter() - t0
+        open(out, "w").write(f"[{status} {dt:.1f}s]\n" + buf.getvalue())
+        try:
+            rec = {"job": os.path.basename(j), "status": status,
+                   "secs": round(dt, 1),
+                   "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+            data = ns.get("RECORD")
+            if isinstance(data, dict):
+                rec["data"] = data
+            elif status == "ERR":
+                rec["error_tail"] = buf.getvalue()[-400:]
+            with open(JOBS_LOG, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
     time.sleep(0.5)
