@@ -30,15 +30,54 @@ from flowreg3d_tpu.ops.resize import resize_volume
 from flowreg3d_tpu.ops.warp import imregister_wrapper
 
 
+def _median_increments(du, dv, dw, use_pallas, median_pallas_ok=True):
+    """5^3-median-filter the three increment volumes (interiors only).
+
+    Pallas path: ONE batched kernel launch for all three components
+    (ops/median_pallas.py:median_filter_5x5x5_pallas_batched) instead of
+    three — the per-call fixed cost dominates at coarse level sizes.
+
+    ``median_pallas_ok=False`` routes to the XLA median regardless: the
+    XLA TPU fusion pass SIGABRTs when Pallas solver sweeps and the Pallas
+    median coexist in a min_level<4 pyramid program (BENCH_JOBS.jsonl
+    jobs 215/225/240, 2026-08-20) — the solver kernel is the
+    perf-critical one, so it stays.
+    """
+    from flowreg3d_tpu.core.solver import (kernel_barrier, pallas_enabled,
+                                           pallas_kernel_on)
+
+    up = pallas_enabled() if use_pallas is None else use_pallas
+    if up and median_pallas_ok and pallas_kernel_on("MEDIAN"):
+        from flowreg3d_tpu.ops.median_pallas import (
+            median_filter_5x5x5_pallas_batched)
+
+        stacked = jnp.stack([du[1:-1, 1:-1, 1:-1], dv[1:-1, 1:-1, 1:-1],
+                             dw[1:-1, 1:-1, 1:-1]])
+        med = kernel_barrier(median_filter_5x5x5_pallas_batched(stacked))
+        return (du.at[1:-1, 1:-1, 1:-1].set(med[0]),
+                dv.at[1:-1, 1:-1, 1:-1].set(med[1]),
+                dw.at[1:-1, 1:-1, 1:-1].set(med[2]))
+    # when the policy gates the Pallas median OFF, the fallback must be
+    # the XLA median unconditionally — passing use_pallas through would
+    # re-enable the kernel via _median's own env check (the round-5 bug
+    # behind jobs 264/270/274/278 re-crashing)
+    mp = use_pallas if median_pallas_ok else False
+    return (du.at[1:-1, 1:-1, 1:-1].set(_median(du[1:-1, 1:-1, 1:-1], mp)),
+            dv.at[1:-1, 1:-1, 1:-1].set(_median(dv[1:-1, 1:-1, 1:-1], mp)),
+            dw.at[1:-1, 1:-1, 1:-1].set(_median(dw[1:-1, 1:-1, 1:-1], mp)))
+
+
 def _median(x, use_pallas):
     """5^3 median: Pallas selection network on TPU (28x the XLA sort and
     exact — the XLA path's conv-based patch extraction rounds taps to bf16
     on TPU), XLA path on CPU / under vmap (use_pallas=False)."""
     from flowreg3d_tpu.core.solver import pallas_enabled
 
+    from flowreg3d_tpu.core.solver import pallas_kernel_on
+
     if use_pallas is None:
         use_pallas = pallas_enabled()
-    if use_pallas:
+    if use_pallas and pallas_kernel_on("MEDIAN"):
         from flowreg3d_tpu.core.solver import kernel_barrier
         from flowreg3d_tpu.ops.median_pallas import median_filter_5x5x5_pallas
 
@@ -125,12 +164,30 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
     p, m, n = shape
     plan, eff_min_level, top = level_schedule(shape, eta, levels, min_level)
     motion_tensor = MOTION_TENSORS[const_assumption]
+    # fusion-crash workaround policy (see _median_increments): fine-level
+    # pyramids get the XLA median unless explicitly forced back on
+    import os as _os
+
+    median_pallas_ok = (eff_min_level >= 4
+                        or _os.environ.get("FLOWREG3D_PALLAS_MEDIAN") == "1")
     a_data_arr = np.asarray(
         a_data if isinstance(a_data, tuple) else (a_data,) * n_channels,
         dtype=np.float64)
 
     def pyramid(fixed, moving, uvw, weight):
         # fixed/moving: (Z,Y,X,C); uvw: (Z,Y,X,3); weight: (Z,Y,X,C)
+        from flowreg3d_tpu.ops import warp_pallas
+
+        # fusion-crash policy (see _median_increments): fine-level
+        # pyramids keep the windowed warp only at >=2^21-voxel levels
+        old_floor = warp_pallas.min_vox_floor(
+            (1 << 21) if eff_min_level < 4 else 0)
+        try:
+            return _pyramid_body(fixed, moving, uvw, weight)
+        finally:
+            warp_pallas.min_vox_floor(old_floor)
+
+    def _pyramid_body(fixed, moving, uvw, weight):
         u = v = w = None
         for step, (i, size, (hz, hy, hx)) in enumerate(plan):
             if step > 0:
@@ -139,6 +196,11 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                 # earlier levels, which would sum their HBM lifetimes
                 fixed, moving, weight, u, v, w = jax.lax.optimization_barrier(
                     (fixed, moving, weight, u, v, w))
+            # NOTE: batching these resizes (fixed+moving concat, flow
+            # components as channels) measured perf-NEUTRAL on chip
+            # (BENCH_JOBS job_262: 49.7 vs 49.1 ms) and reintroduced the
+            # min_level=0 fusion-pass SIGABRT (job_274 quality-current vs
+            # job_256) — keep them separate.
             f1_level = resize_volume(fixed, size, dtype=dtype)
             f2_level = resize_volume(moving, size, dtype=dtype)
             if step == 0:
@@ -193,12 +255,8 @@ def build_pyramid_raw(shape, n_channels, alpha, update_lag, iterations,
                 use_pallas=use_pallas)
 
             if min(size) > 5:
-                du = du.at[1:-1, 1:-1, 1:-1].set(
-                    _median(du[1:-1, 1:-1, 1:-1], use_pallas))
-                dv = dv.at[1:-1, 1:-1, 1:-1].set(
-                    _median(dv[1:-1, 1:-1, 1:-1], use_pallas))
-                dw = dw.at[1:-1, 1:-1, 1:-1].set(
-                    _median(dw[1:-1, 1:-1, 1:-1], use_pallas))
+                du, dv, dw = _median_increments(du, dv, dw, use_pallas,
+                                                median_pallas_ok)
             u = u + du
             v = v + dv
             w = w + dw

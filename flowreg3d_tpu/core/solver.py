@@ -204,7 +204,7 @@ def _solve(Jc, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
 
     SJ0 = tick_update(du, dv, dw)
 
-    if use_pallas and not a_smooth_is_one:
+    if use_pallas and pallas_kernel_on("SOLVER") and not a_smooth_is_one:
         # Fused flow-driven-diffusivity kernel: one pallas_call runs
         # update_lag full psi->red->black iterations (psi computed
         # in-kernel from the pre-red increments, the exact reference
@@ -235,7 +235,7 @@ def _solve(Jc, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
         return (set_boundary_3d(du), set_boundary_3d(dv),
                 set_boundary_3d(dw))
 
-    if use_pallas and a_smooth_is_one:
+    if use_pallas and pallas_kernel_on("SOLVER") and a_smooth_is_one:
         # Fused kernel path: one pallas_call per psi_data tick block runs
         # update_lag full red-black iterations in-place (Neumann ghosts
         # clamped in-kernel, so no boundary passes between sweeps). The
@@ -282,6 +282,16 @@ def _solve(Jc, weight, u, v, w, alpha, a_data, a_smooth, hx, hy, hz,
 
     du, dv, dw, _ = jax.lax.fori_loop(0, iterations, body, (du, dv, dw, SJ0))
     return du, dv, dw
+
+
+def pallas_kernel_on(name):
+    """Per-kernel Pallas opt-out: FLOWREG3D_PALLAS_{SOLVER|WARP|MEDIAN}=0
+    routes just that op to its XLA path (trace-time; used to bisect and
+    work around the min_level=0 fusion-pass compiler crash)."""
+    import os
+
+    return os.environ.get(f"FLOWREG3D_PALLAS_{name}", "1") not in (
+        "0", "false", "False")
 
 
 def kernel_barrier(*arrays):

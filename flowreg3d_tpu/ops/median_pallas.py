@@ -99,6 +99,78 @@ def _kernel(x_ref, o_ref, win, sem):
     o_ref[0] = taps[62]
 
 
+def _kernel_batched(x_ref, o_ref, win, sem):
+    b = pl.program_id(0)
+    z = pl.program_id(1)
+    ty = pl.program_id(2)
+    tx = pl.program_id(3)
+    Xw = 2 * _TX
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(z, 5), pl.ds(ty * _TY, _TY + 8),
+                 pl.ds(tx * _TX, Xw)], win, sem)
+    dma.start()
+    dma.wait()
+
+    taps = []
+    for a in range(5):
+        plane = win[a]
+        for bb in range(5):
+            rows = plane[bb:bb + _TY]
+            for c in range(5):
+                rolled = pltpu.roll(rows, (Xw - c) % Xw, 1) if c else rows
+                taps.append(rolled[:, :_TX])
+    big = jnp.full((_TY, _TX), jnp.inf, taps[0].dtype)
+    taps += [big, big, big]
+
+    for i, j in _median_network(128, 62):
+        lo = jnp.minimum(taps[i], taps[j])
+        hi = jnp.maximum(taps[i], taps[j])
+        taps[i] = lo
+        taps[j] = hi
+
+    o_ref[0, 0] = taps[62]
+
+
+def median_filter_5x5x5_pallas_batched(x, interpret=False):
+    """Exact 5^3 median of a (B,Z,Y,X) stack in ONE pallas_call.
+
+    Used by the pyramid to filter the du/dv/dw increments together
+    (B=3): one kernel launch + one padded operand instead of three,
+    shaving the per-call fixed costs that dominate the coarse levels.
+    Boundary 'reflect' per component (the batch axis is not reflected).
+    """
+    x = jnp.asarray(x)
+    B, Z, Y, X = x.shape
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (2, 2)), mode="reflect")
+    n_ty = -(-Y // _TY)
+    n_tx = -(-X // _TX)
+    Yp = n_ty * _TY + 8
+    Xp = n_tx * _TX + _TX
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Yp - (Y + 4)),
+                      (0, Xp - (X + 4))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, Z, n_ty, n_tx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, _TY, _TX),
+                               lambda b, z, t, u: (b, z, t, u)),
+        scratch_shapes=[
+            pltpu.VMEM((5, _TY + 8, 2 * _TX), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_batched,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Z, n_ty * _TY, n_tx * _TX),
+                                       x.dtype),
+        interpret=interpret,
+    )(xp)
+    return out[:, :, :Y, :X]
+
+
 def median_filter_5x5x5_pallas(x, interpret=False):
     """Exact 5^3 median, boundary 'reflect' — Pallas selection network.
 

@@ -267,7 +267,10 @@ def imregister_wrapper(f2_level, u, v, w, f1_level,
 
     from flowreg3d_tpu.ops import warp_pallas
 
-    if use_pallas is not False and warp_pallas.windowed_ok((Z, Y, X), order):
+    from flowreg3d_tpu.core.solver import pallas_kernel_on
+
+    if use_pallas is not False and pallas_kernel_on("WARP") \
+            and warp_pallas.windowed_ok((Z, Y, X), order):
         def sample(vol, cz, cy, cx, _o=order):
             from flowreg3d_tpu.core.solver import kernel_barrier
 

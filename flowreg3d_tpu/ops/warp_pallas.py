@@ -100,6 +100,25 @@ _SUB = int(os.environ.get("FLOWREG3D_WARP_SUB", "128"))
 _WSUB = _SUB + 256
 # VMEM guard: At is (Xp, S) f32 per line-sub; group window is bf16 hi+lo
 _MAX_X = 1280
+# minimum volume (voxels) for the windowed kernel to beat the XLA
+# row-gather. Lowered from 2^21 in round 5: at level-5 pyramid geometry
+# (21x168x168 = 593k voxels) the windowed kernel is faster (canonical
+# pyramid 52.3 -> 49.1 ms, BENCH_JOBS job_254) and matches the
+# row-gather to 5.1e-5 (job_258).
+_MIN_VOX = int(os.environ.get("FLOWREG3D_WARP_MIN_VOX", "400000"))
+# trace-scoped floor: min_level<4 pyramid programs raise the threshold
+# back to 2^21 — adding windowed-warp custom calls at mid-pyramid levels
+# re-triggers the XLA fusion-pass SIGABRT that the median gate works
+# around (BENCH_JOBS job_264 vs job_256)
+_MIN_VOX_FLOOR = 0
+
+
+def min_vox_floor(value):
+    """Set the trace-scoped windowed-warp voxel floor; returns the old."""
+    global _MIN_VOX_FLOOR
+    old = _MIN_VOX_FLOOR
+    _MIN_VOX_FLOOR = value
+    return old
 
 
 def _w_taps(f, order):
@@ -496,7 +515,7 @@ def windowed_ok(shape, order=3):
         return False
     if Y % _LPG != 0:
         return False
-    if Z * Y * X < (1 << 21):
+    if Z * Y * X < max(_MIN_VOX, _MIN_VOX_FLOOR):
         return False
     # scalar-prefetch budget: the per-(line, chunk) window table is
     # (2 + 9*nsub) rows x L8 groups of int32 and must fit SMEM (~1 MB;

@@ -89,6 +89,7 @@ class BatchMotionCorrector:
         self._progress: Dict[str, Tuple[int, Optional[int]]] = {}
         self._total_frames: Optional[int] = None
         self._resident = None
+        self.used_device_resident = False  # diagnostic: engaged last run
 
         self._setup_executor()
 
@@ -258,33 +259,29 @@ class BatchMotionCorrector:
             self._resident = None
 
     def _process_batch_resident(self, batch):
-        """One batch through the resident engine; returns (registered_np,
-        flows_d, stats (T,4) np, valid (T,) np.bool_, mask_d or None)."""
-        import jax.numpy as jnp
-
+        """One batch through the resident engine (chunk-streamed on
+        device); returns the run_batch result dict."""
         st = self._resident
-        raw_d, proc_d = st.upload_and_preprocess(batch)
-        if self.w_init is None:
-            cb = ((lambda n: self._notify(n, "initial_w"))
-                  if self.progress_callbacks else None)
-            self.w_init = st.initial_w(proc_d, min(22, batch.shape[0]),
-                                       progress_callback=cb)
-        current = (self.w_init if self.options.update_initialization_w
-                   else st.zero_w)
+        icb = ((lambda n: self._notify(n, "initial_w"))
+               if self.progress_callbacks else None)
         cb = ((lambda n: self._notify(n)) if self.progress_callbacks
               else None)
-        flows_d = st.flows(proc_d, current, progress_callback=cb)
-        want_mask = (self.valid_writer is not None)
-        reg_d, stats_d, valid_d, mask_d = st.finalize(
-            raw_d, flows_d, want_mask=want_mask)
+        out = st.run_batch(
+            batch,
+            w_init=self.w_init,
+            use_w_init=self.options.update_initialization_w,
+            want_mask=(self.valid_writer is not None),
+            keep_flows_host=bool(self.options.save_w
+                                 and self.w_writer is not None),
+            update_reference=bool(self.options.update_reference),
+            progress_callback=cb, initial_progress_callback=icb)
+        if self.w_init is None:
+            self.w_init = out["initial_w"]
         if self.options.update_initialization_w:
-            self.w_init = st.tail_mean(flows_d, 20)
+            self.w_init = out["w_init"]
         if self.options.update_reference:
-            st.update_reference(proc_d, flows_d)
             self.reference_proc = None  # stale; re-mirrored on demand
-        registered = st.download_registered(reg_d)
-        return (registered, flows_d, np.asarray(stats_d),
-                np.asarray(valid_d), mask_d)
+        return out
 
     def _sync_reference_from_device(self):
         if self._resident is not None and self._resident._ref_dirty:
@@ -439,6 +436,7 @@ class BatchMotionCorrector:
             seeked_frames = 0
 
         self._setup_resident()
+        self.used_device_resident = self._resident is not None
 
         if self.config.verbose:
             print(f"Starting compensation with "
@@ -459,22 +457,23 @@ class BatchMotionCorrector:
                     continue
 
                 if self._resident is not None:
-                    (registered, flows_d, stats_arr, valid_arr,
-                     mask_d) = self._process_batch_resident(batch)
+                    out = self._process_batch_resident(batch)
+                    registered = out["registered"]
+                    stats_arr = out["stats"]
                     self.mean_disp.extend(stats_arr[:, 0].tolist())
                     self.max_disp.extend(stats_arr[:, 1].tolist())
                     self.mean_div.extend(stats_arr[:, 2].tolist())
                     self.mean_translation.extend(stats_arr[:, 3].tolist())
                     self.video_writer.write_frames(registered)
-                    if self.options.save_w and self.w_writer is not None:
+                    if out["flows"] is not None and self.w_writer is not None:
                         # the one case where full flows cross the link
-                        self.w_writer.write_frames(
-                            np.asarray(flows_d, np.float32))
-                    if self.valid_writer is not None and mask_d is not None:
+                        self.w_writer.write_frames(out["flows"])
+                    if self.valid_writer is not None \
+                            and out["masks"] is not None:
                         self.valid_writer.write_frames(
-                            np.asarray(mask_d)[..., None].astype(np.uint8))
+                            out["masks"][..., None])
                     if getattr(self.options, "save_valid_idx", False):
-                        self.valid_idx.extend(valid_arr.tolist())
+                        self.valid_idx.extend(out["valid"].tolist())
                 else:
                     batch_proc = self._preprocess_frames(
                         batch, normalization_ref=self.reference_raw)
@@ -525,6 +524,16 @@ class BatchMotionCorrector:
         finally:
             if self.executor is not None:
                 self.executor.cleanup()
+            if self._resident is not None:
+                # release the engine's device buffers (refs, w_init) so an
+                # interrupted or finished run leaves no HBM behind
+                try:
+                    self._sync_reference_from_device()
+                except Exception:
+                    pass
+                if self.w_init is not None:
+                    self.w_init = np.asarray(self.w_init)
+                self._resident = None
 
         if self.config.verbose:
             dt = time() - start_time

@@ -281,7 +281,7 @@ class ResidentPipeline:
         return min(k, T if self.mode != "mesh"
                    else -(-T // self.n_devices) * self.n_devices)
 
-    def upload_and_preprocess(self, batch):
+    def _upload_and_preprocess(self, batch):
         """Host batch (T,Z,Y,X[,C]) native dtype -> (raw_d, proc_d)."""
         batch = np.asarray(batch)
         if batch.ndim == 4:
@@ -294,39 +294,16 @@ class ResidentPipeline:
             raw_d, self._lo, self._hi)
         return raw_d, proc_d
 
-    def flows(self, proc_d, w_init, progress_callback=None):
-        """(T,...) proc frames -> (T,Z,Y,X,3) flows, all on device."""
-        T = proc_d.shape[0]
-        k = self._chunk_size(T)
-        w_init_d = jnp.asarray(w_init, jnp.float32)
+    def _flow_fn(self):
         if self.mode == "mesh":
             fn, _ = _jit_flow_mesh(self.key, self._mesh_devices)
-            padded, n = _pad_batch(proc_d, k)
-            out = []
-            for t0 in range(0, padded.shape[0], k):
-                out.append(fn(padded[t0:t0 + k], self.ref_proc_d, w_init_d,
-                              self.weight_d))
-                if progress_callback:
-                    progress_callback(min(k, max(0, n - t0)))
-            return jnp.concatenate(out)[:n] if len(out) > 1 else out[0][:n]
+            return lambda proc_c, w_init: fn(proc_c, self.ref_proc_d,
+                                             w_init, self.weight_d)
         fn = _jit_flow_chunk_shared(self.key)
-        padded, n = _pad_batch(proc_d, k)
-        out = []
-        for t0 in range(0, padded.shape[0], k):
-            out.append(fn(self.ref_proc_d, padded[t0:t0 + k], w_init_d,
-                          self.weight_d))
-            if progress_callback:
-                progress_callback(min(k, max(0, n - t0)))
-        return jnp.concatenate(out)[:n] if len(out) > 1 else out[0][:n]
+        return lambda proc_c, w_init: fn(self.ref_proc_d, proc_c, w_init,
+                                         self.weight_d)
 
-    def finalize(self, raw_d, flows_d, want_mask=False):
-        """Warp+cast+stats+valid for the whole batch.
-
-        Returns (reg_d native-dtype, stats_d (T,4), valid_d (T,) bool,
-        mask_d (T,Z,Y,X) bool or None) — all device arrays.
-        """
-        T = raw_d.shape[0]
-        k = self._chunk_size(T)
+    def _finalize_fn(self, want_mask):
         out_name = np.dtype(self._in_dtype).name if self._device_cast \
             else "float32"
         if self.mode == "mesh":
@@ -336,22 +313,12 @@ class ResidentPipeline:
         else:
             fn = _jit_finalize_chunk(self.interp, out_name,
                                      self._device_cast, want_mask)
-        raw_p, n = _pad_batch(raw_d, k)
-        flows_p, _ = _pad_batch(flows_d, k)
-        outs = []
-        for t0 in range(0, raw_p.shape[0], k):
-            outs.append(fn(raw_p[t0:t0 + k], flows_p[t0:t0 + k],
-                           self.ref_raw_d))
-        parts = [jnp.concatenate(p)[:n] if len(outs) > 1 else p[0][:n]
-                 for p in zip(*outs)]
-        reg_d, stats_d, valid_d = parts[:3]
-        mask_d = parts[3] if want_mask else None
-        return reg_d, stats_d, valid_d, mask_d
+        return fn
 
-    def download_registered(self, reg_d):
-        """Device registered batch -> host numpy in the input dtype."""
-        reg = np.asarray(reg_d)
-        if reg.dtype != self._in_dtype:  # non-canonical dtype: host cast
+    def _host_cast(self, reg):
+        """Downloaded registered frames -> the input dtype (non-canonical
+        dtypes, e.g. f64/i64, come back as f32 and cast on host)."""
+        if reg.dtype != self._in_dtype:
             if np.issubdtype(self._in_dtype, np.integer):
                 info = np.iinfo(self._in_dtype)
                 reg = np.clip(np.rint(reg), info.min, info.max).astype(
@@ -360,28 +327,141 @@ class ResidentPipeline:
                 reg = reg.astype(self._in_dtype)
         return reg
 
-    # -- small on-device reductions ----------------------------------------
+    def _initial_w(self, proc_parts, n, k, progress_callback=None):
+        """Mean flow of the first ``n`` frames from a zero init (reference
+        :342-393) — accumulated as a running sum, never stacking flows."""
+        fn = self._flow_fn()
+        acc = None
+        seen = 0
+        for part in proc_parts:
+            if seen >= n:
+                break
+            fl = fn(part, self.zero_w)
+            take = min(part.shape[0], n - seen)
+            s = jnp.sum(fl[:take], axis=0)
+            acc = s if acc is None else acc + s
+            seen += take
+            del fl
+            if progress_callback:
+                progress_callback(take)
+        return acc / seen
 
-    def initial_w(self, proc_d, n, progress_callback=None):
-        """Mean flow of the first ``n`` frames from a zero init
-        (reference :342-393)."""
-        flows = self.flows(proc_d[:n], self.zero_w,
-                           progress_callback=progress_callback)
-        return jnp.mean(flows, axis=0)
+    def run_batch(self, batch, w_init=None, use_w_init=True,
+                  want_mask=False, keep_flows_host=False,
+                  update_reference=False, progress_callback=None,
+                  initial_progress_callback=None):
+        """One batch end-to-end, chunk-streamed to bound HBM.
 
-    @staticmethod
-    def tail_mean(flows_d, n=20):
-        """w_init propagation: mean of the last <=n flows (reference
-        :481-485), computed where the flows live."""
-        tail = flows_d[-n:] if flows_d.shape[0] > n else flows_d
-        return jnp.mean(tail, axis=0)
+        The warp program's static allocation (both cond branches of the
+        tiered Pallas/row-gather dispatch) dominates the chip; persistent
+        arrays are kept to: the refs, the raw/proc chunks still pending,
+        the CURRENT chunk's flow, and a running (Z,Y,X,3) tail-sum for the
+        w_init propagation — never the whole batch's flows (805 MB at
+        canonical shape+batch 4, which OOMed a 16 GB chip alongside the
+        warp program).
 
-    def update_reference(self, proc_d, flows_d):
-        n = min(100, proc_d.shape[0])
-        if n < 1:
-            return
-        fn = _jit_update_reference(self.interp, n)
-        self.ref_proc_d = fn(proc_d[-n:], flows_d[-n:], self.ref_proc_d)
+        Returns a dict: registered (np, input dtype), stats (np (T,4)),
+        valid (np bool (T,)), masks (np u8 or None), flows (np or None),
+        w_init (device (Z,Y,X,3) tail mean), initial_w (device or None).
+        """
+        batch = np.asarray(batch)
+        if batch.ndim == 4:
+            batch = batch[..., None]
+        T = batch.shape[0]
+        k = self._chunk_size(T)
+        raw_d, proc_d = self._upload_and_preprocess(batch)
+        # split into per-chunk device arrays so consumed chunks free
+        raw_parts, proc_parts, n_valid = [], [], []
+        for t0 in range(0, T, k):
+            sl = slice(t0, min(t0 + k, T))
+            rp, n = _pad_batch(raw_d[sl], k)
+            pp, _ = _pad_batch(proc_d[sl], k)
+            raw_parts.append(rp)
+            proc_parts.append(pp)
+            n_valid.append(n)
+        del raw_d, proc_d
+
+        initial_w = None
+        if w_init is None:
+            initial_w = self._initial_w(proc_parts, min(22, T), k,
+                                        initial_progress_callback)
+            w_init = initial_w
+        current = jnp.asarray(w_init if use_w_init else self.zero_w,
+                              jnp.float32)
+
+        flow_fn = self._flow_fn()
+        fin_fn = self._finalize_fn(want_mask)
+        tail_start = T - min(20, T)
+        tail_sum = None
+        tail_n = 0
+        regs, stats, valids, masks, flows_host, flows_dev = \
+            [], [], [], [], [], []
+        done = 0
+        for i, (raw_c, proc_c) in enumerate(zip(raw_parts, proc_parts)):
+            n = n_valid[i]
+            fl = flow_fn(proc_c, current)
+            if not update_reference:
+                proc_parts[i] = None  # free the chunk's proc frames
+            outs = fin_fn(raw_c, fl, self.ref_raw_d)
+            raw_parts[i] = None
+            reg_c, st_c, va_c = outs[:3]
+            # start the D2H copies now; they overlap the next chunk's
+            # dispatch and the tail-sum below (np.asarray at the end of
+            # the loop blocks only on what hasn't landed yet)
+            reg_c = reg_c[:n]
+            try:
+                reg_c.copy_to_host_async()
+            except Exception:
+                pass
+            regs.append(reg_c)
+            stats.append(np.asarray(st_c[:n]))
+            valids.append(np.asarray(va_c[:n]))
+            if want_mask:
+                masks.append(np.asarray(outs[3][:n]).astype(np.uint8))
+            del outs, st_c, va_c
+            # w_init propagation: running sum over the last <=20 frames
+            lo = max(done, tail_start) - done
+            if lo < n:
+                s = jnp.sum(fl[lo:n], axis=0)
+                tail_sum = s if tail_sum is None else tail_sum + s
+                tail_n += n - lo
+            if keep_flows_host:
+                flows_host.append(np.asarray(fl[:n], np.float32))
+            if update_reference:
+                flows_dev.append(fl[:n])
+            del fl
+            done += n
+            if progress_callback:
+                progress_callback(n)
+
+        new_w_init = tail_sum / max(tail_n, 1)
+        if update_reference:
+            n_upd = min(100, T)
+            fn = _jit_update_reference(self.interp, n_upd)
+            proc_all = jnp.concatenate(
+                [p[:n] for p, n in zip(proc_parts, n_valid)]) \
+                if len(proc_parts) > 1 else proc_parts[0][:n_valid[0]]
+            flows_all = jnp.concatenate(flows_dev) \
+                if len(flows_dev) > 1 else flows_dev[0]
+            self.ref_proc_d = fn(proc_all[-n_upd:], flows_all[-n_upd:],
+                                 self.ref_proc_d)
+            self._ref_dirty = True
+            del proc_all, flows_all, flows_dev
+
+        regs = [self._host_cast(np.asarray(r)) for r in regs]
+        return {
+            "registered": np.concatenate(regs) if len(regs) > 1
+            else regs[0],
+            "stats": np.concatenate(stats) if len(stats) > 1 else stats[0],
+            "valid": np.concatenate(valids) if len(valids) > 1
+            else valids[0],
+            "masks": (np.concatenate(masks) if len(masks) > 1
+                      else masks[0]) if want_mask else None,
+            "flows": (np.concatenate(flows_host) if len(flows_host) > 1
+                      else flows_host[0]) if keep_flows_host else None,
+            "w_init": new_w_init,
+            "initial_w": initial_w,
+        }
         self._ref_dirty = True
 
     def ref_proc_np(self):

@@ -2,6 +2,19 @@
 # The running server predates the BENCH_JOBS.jsonl hook, so round-5 jobs
 # record their own results via ns_record.
 
+def ns_cleanup(g):
+    """Free every device/host array left in the server namespace by
+    earlier jobs (their module-level variables persist in ns)."""
+    import gc
+    keep = {"jax", "jnp", "np", "time", "sys", "os", "dev", "ns_cleanup"}
+    for k in list(g):
+        if k.startswith(("ns_", "__")) or k in keep:
+            continue
+        del g[k]
+    gc.collect()
+    gc.collect()
+
+
 def ns_fresh():
     """Purge cached package modules so jobs import the CURRENT code."""
     import gc

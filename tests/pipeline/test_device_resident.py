@@ -62,10 +62,10 @@ def _run_both(tmp_path, movie, rng, **opt_kw):
         corr = BatchMotionCorrector(opts, cfg)
         corr.run()
         if resident is None:
-            assert corr._resident is not None, \
+            assert corr.used_device_resident, \
                 "resident path should have engaged"
         else:
-            assert corr._resident is None
+            assert not corr.used_device_resident
         comp = next((tmp_path / f"out_{mode}").glob("compensated.*"))
         with h5py.File(str(comp), "r") as f:
             key = list(f.keys())[0]
@@ -225,7 +225,7 @@ def test_resident_mesh_matches_single(tmp_path, movie, rng):
                                  async_write=False, device_resident=True)
         corr = BatchMotionCorrector(opts, cfg)
         corr.run()
-        assert corr._resident is not None
+        assert corr.used_device_resident
         comp = next((tmp_path / f"m_{mode}").glob("compensated.*"))
         with h5py.File(str(comp), "r") as f:
             regs[mode] = np.asarray(f[list(f.keys())[0]])
