@@ -185,5 +185,8 @@ def test_int8_fixed_point_path(order, monkeypatch):
                                    interpret=True)
     ref = (W.map_coordinates_cubic if order == 3
            else W.map_coordinates_linear)(vol, cz, cy, cx)
+    # on-chip A/B measured 5.0e-5 max abs vs bf16x3 (BENCH_JOBS job_103);
+    # 4e-4 gives ~8x margin over the measured error while still failing
+    # loudly if the limb split regresses toward bf16x2-class (1.4e-3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=4e-4, atol=4e-4)
