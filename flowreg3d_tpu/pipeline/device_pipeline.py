@@ -405,19 +405,20 @@ class ResidentPipeline:
             outs = fin_fn(raw_c, fl, self.ref_raw_d)
             raw_parts[i] = None
             reg_c, st_c, va_c = outs[:3]
-            # start the D2H copies now; they overlap the next chunk's
-            # dispatch and the tail-sum below (np.asarray at the end of
-            # the loop blocks only on what hasn't landed yet)
+            # NO synchronous downloads inside the loop: a blocking
+            # np.asarray per chunk serializes every chunk against the
+            # host link round-trip — all chunks are enqueued async and
+            # the downloads drain at the end of the batch
             reg_c = reg_c[:n]
             try:
                 reg_c.copy_to_host_async()
             except Exception:
                 pass
             regs.append(reg_c)
-            stats.append(np.asarray(st_c[:n]))
-            valids.append(np.asarray(va_c[:n]))
+            stats.append(st_c[:n])
+            valids.append(va_c[:n])
             if want_mask:
-                masks.append(np.asarray(outs[3][:n]).astype(np.uint8))
+                masks.append(outs[3][:n])
             del outs, st_c, va_c
             # w_init propagation: running sum over the last <=20 frames
             lo = max(done, tail_start) - done
@@ -426,7 +427,18 @@ class ResidentPipeline:
                 tail_sum = s if tail_sum is None else tail_sum + s
                 tail_n += n - lo
             if keep_flows_host:
-                flows_host.append(np.asarray(fl[:n], np.float32))
+                # one-chunk delay: start this chunk's D2H copy async and
+                # convert the PREVIOUS chunk's (its transfer has had a
+                # full chunk of compute to land) — bounds device-resident
+                # flows to one chunk instead of the whole batch
+                fl_keep = fl[:n].astype(jnp.float32)
+                try:
+                    fl_keep.copy_to_host_async()
+                except Exception:
+                    pass
+                if flows_host:
+                    flows_host[-1] = np.asarray(flows_host[-1])
+                flows_host.append(fl_keep)
             if update_reference:
                 flows_dev.append(fl[:n])
             del fl
@@ -449,6 +461,10 @@ class ResidentPipeline:
             del proc_all, flows_all, flows_dev
 
         regs = [self._host_cast(np.asarray(r)) for r in regs]
+        stats = [np.asarray(x) for x in stats]
+        valids = [np.asarray(x) for x in valids]
+        masks = [np.asarray(x).astype(np.uint8) for x in masks]
+        flows_host = [np.asarray(x) for x in flows_host]
         return {
             "registered": np.concatenate(regs) if len(regs) > 1
             else regs[0],

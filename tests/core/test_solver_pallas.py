@@ -69,7 +69,9 @@ def test_solve_pallas_interpret_matches_xla(shape):
     alpha = jnp.asarray((1.0, 1.0, 1.0), jnp.float32)
     a_data = jnp.asarray([0.45], jnp.float32)
     one = jnp.float32(1.0)
-    args = (Jt, weight, u, v, w, alpha, a_data, one, one, one, one, 6, 3,
+    # _solve takes channel-LEADING operands (round-5 TPU layout fix)
+    args = (jnp.moveaxis(Jt, -1, 1), jnp.moveaxis(weight, -1, 0),
+            u, v, w, alpha, a_data, one, one, one, one, 6, 3,
             True)
     ref = _solve(*args, use_pallas=False)
     import flowreg3d_tpu.core.solver_pallas as sp
@@ -190,7 +192,9 @@ def test_solve_pallas_asmooth_interpret_matches_xla(a_smooth):
     alpha = jnp.asarray((1.0, 1.2, 0.9), jnp.float32)
     a_data = jnp.asarray([0.45], jnp.float32)
     one = jnp.float32(1.0)
-    args = (Jt, weight, u, v, w, alpha, a_data, jnp.float32(a_smooth),
+    # _solve takes channel-LEADING operands (round-5 TPU layout fix)
+    args = (jnp.moveaxis(Jt, -1, 1), jnp.moveaxis(weight, -1, 0),
+            u, v, w, alpha, a_data, jnp.float32(a_smooth),
             one, one, one, 6, 3, False)
     ref = _solve(*args, use_pallas=False)
     import flowreg3d_tpu.core.solver_pallas as sp
