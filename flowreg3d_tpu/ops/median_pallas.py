@@ -67,18 +67,13 @@ def _median_network(n, out_rank):
     return tuple(kept)
 
 
-def _kernel(x_ref, o_ref, win, sem):
-    z = pl.program_id(0)
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
+def _median_of_window(win):
+    """(5, _TY+8, 2*_TX) loaded window -> (_TY, _TX) of 5^3 medians.
+
+    Shared by the single and batched kernels: 125 tap tiles built by
+    sublane slices + lane rolls, reduced by the pruned Batcher network.
+    """
     Xw = 2 * _TX
-
-    dma = pltpu.make_async_copy(
-        x_ref.at[pl.ds(z, 5), pl.ds(ty * _TY, _TY + 8),
-                 pl.ds(tx * _TX, Xw)], win, sem)
-    dma.start()
-    dma.wait()
-
     taps = []
     for a in range(5):
         plane = win[a]                      # (_TY + 8, Xw)
@@ -96,7 +91,20 @@ def _kernel(x_ref, o_ref, win, sem):
         taps[i] = lo
         taps[j] = hi
 
-    o_ref[0] = taps[62]
+    return taps[62]
+
+
+def _kernel(x_ref, o_ref, win, sem):
+    z = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[pl.ds(z, 5), pl.ds(ty * _TY, _TY + 8),
+                 pl.ds(tx * _TX, 2 * _TX)], win, sem)
+    dma.start()
+    dma.wait()
+    o_ref[0] = _median_of_window(win)
 
 
 def _kernel_batched(x_ref, o_ref, win, sem):
@@ -104,32 +112,13 @@ def _kernel_batched(x_ref, o_ref, win, sem):
     z = pl.program_id(1)
     ty = pl.program_id(2)
     tx = pl.program_id(3)
-    Xw = 2 * _TX
 
     dma = pltpu.make_async_copy(
         x_ref.at[b, pl.ds(z, 5), pl.ds(ty * _TY, _TY + 8),
-                 pl.ds(tx * _TX, Xw)], win, sem)
+                 pl.ds(tx * _TX, 2 * _TX)], win, sem)
     dma.start()
     dma.wait()
-
-    taps = []
-    for a in range(5):
-        plane = win[a]
-        for bb in range(5):
-            rows = plane[bb:bb + _TY]
-            for c in range(5):
-                rolled = pltpu.roll(rows, (Xw - c) % Xw, 1) if c else rows
-                taps.append(rolled[:, :_TX])
-    big = jnp.full((_TY, _TX), jnp.inf, taps[0].dtype)
-    taps += [big, big, big]
-
-    for i, j in _median_network(128, 62):
-        lo = jnp.minimum(taps[i], taps[j])
-        hi = jnp.maximum(taps[i], taps[j])
-        taps[i] = lo
-        taps[j] = hi
-
-    o_ref[0, 0] = taps[62]
+    o_ref[0, 0] = _median_of_window(win)
 
 
 def median_filter_5x5x5_pallas_batched(x, interpret=False):

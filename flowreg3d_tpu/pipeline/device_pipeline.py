@@ -99,12 +99,13 @@ def _jit_flow_chunk_shared(config_key):
     return jax.jit(chunk)
 
 
-def _finalize_one(interp, out_dtype_name, device_cast, want_mask):
+def _finalize_one(interp, out_dtype_name, device_cast, want_mask,
+                  want_comp=False):
     out_dtype = jnp.dtype(out_dtype_name) if device_cast else jnp.float32
     integer = device_cast and jnp.issubdtype(out_dtype, jnp.integer)
     info = np.iinfo(out_dtype_name) if integer else None
 
-    def one(raw, flow, ref_raw):
+    def one(raw, flow, ref_raw, proc=None, ref_proc=None):
         reg = imregister_wrapper(
             raw.astype(jnp.float32), flow[..., 0], flow[..., 1],
             flow[..., 2], ref_raw, interpolation_method=interp)
@@ -126,23 +127,44 @@ def _finalize_one(interp, out_dtype_name, device_cast, want_mask):
         mz = gz + flow[..., 2]
         inb = ((mx >= 0) & (mx < X) & (my >= 0) & (my < Y)
                & (mz >= 0) & (mz < Z))
+        outs = [reg_c, stats, inb.all()]
         if want_mask:
-            return reg_c, stats, inb.all(), inb
-        return reg_c, stats, inb.all()
+            outs.append(inb)
+        if want_comp:
+            # compensated preprocessed frame for the reference-update rule
+            # (compensate_recording_3D.py:395-429) — accumulated as a
+            # masked SUM by the chunk wrapper, never retained per frame
+            outs.append(imregister_wrapper(
+                proc, flow[..., 0], flow[..., 1], flow[..., 2], ref_proc,
+                interpolation_method=interp))
+        return tuple(outs)
 
     return one
 
 
 @lru_cache(maxsize=16)
-def _jit_finalize_chunk(interp, out_dtype_name, device_cast, want_mask):
+def _jit_finalize_chunk(interp, out_dtype_name, device_cast, want_mask,
+                        want_comp=False):
     """Warp the raw chunk by its flows, cast to the output dtype on device,
     and reduce per-frame statistics + in-bounds validity in the same
-    program (stats parity: pipeline.stats / reference :487-508)."""
-    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask)
+    program (stats parity: pipeline.stats / reference :487-508). With
+    ``want_comp``, also returns the upd_mask-weighted SUM of compensated
+    preprocessed frames (the reference-update accumulator)."""
+    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask,
+                        want_comp)
 
-    def chunk(batch_raw, flows, ref_raw):
-        return jax.lax.map(lambda a: one(a[0], a[1], ref_raw),
-                           (batch_raw, flows))
+    if not want_comp:
+        def chunk(batch_raw, flows, ref_raw):
+            return jax.lax.map(lambda a: one(a[0], a[1], ref_raw),
+                               (batch_raw, flows))
+    else:
+        def chunk(batch_raw, flows, ref_raw, proc, ref_proc, upd_mask):
+            outs = jax.lax.map(
+                lambda a: one(a[0], a[1], ref_raw, a[2], ref_proc),
+                (batch_raw, flows, proc))
+            comp = outs[-1]
+            comp_sum = jnp.einsum("t...,t->...", comp, upd_mask)
+            return outs[:-1] + (comp_sum,)
 
     return jax.jit(chunk)
 
@@ -157,6 +179,11 @@ def _jit_flow_mesh(config_key, mesh_devices):
     pyramid = build_pyramid_raw(*config_key)
 
     def local(batch_proc, ref_proc, w_init, weight):
+        # unrolled on purpose: lax.map compiles the pyramid body as a
+        # scan whose numerics differ at the last bit from the
+        # single-device chunk program, breaking the executor bit-identity
+        # invariant (test_resident_mesh_matches_single). Trace size is
+        # bounded by the per-device frame cap in _chunk_size.
         flows = [pyramid(ref_proc, batch_proc[t], w_init, weight)
                  for t in range(batch_proc.shape[0])]
         return jnp.stack(flows)
@@ -169,40 +196,40 @@ def _jit_flow_mesh(config_key, mesh_devices):
 
 @lru_cache(maxsize=8)
 def _jit_finalize_mesh(interp, out_dtype_name, device_cast, want_mask,
-                       mesh_devices):
+                       mesh_devices, want_comp=False):
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     mesh = Mesh(np.array(list(mesh_devices)), ("batch",))
-    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask)
+    one = _finalize_one(interp, out_dtype_name, device_cast, want_mask,
+                        want_comp)
+    n_out = 3 + int(want_mask)
 
-    def local(batch_raw, flows, ref_raw):
-        outs = [one(batch_raw[t], flows[t], ref_raw)
-                for t in range(batch_raw.shape[0])]
-        return tuple(jnp.stack(parts) for parts in zip(*outs))
+    if not want_comp:
+        def local(batch_raw, flows, ref_raw):
+            return jax.lax.map(lambda a: one(a[0], a[1], ref_raw),
+                               (batch_raw, flows))
 
-    n_out = 4 if want_mask else 3
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("batch"), P("batch"), P()),
-                   out_specs=tuple(P("batch") for _ in range(n_out)))
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("batch"), P("batch"), P()),
+                       out_specs=tuple(P("batch")
+                                       for _ in range(n_out)))
+    else:
+        def local(batch_raw, flows, ref_raw, proc, ref_proc, upd_mask):
+            outs = jax.lax.map(
+                lambda a: one(a[0], a[1], ref_raw, a[2], ref_proc),
+                (batch_raw, flows, proc))
+            comp = outs[-1]
+            local_sum = jnp.einsum("t...,t->...", comp, upd_mask)
+            # replicated masked sum across the batch shards (ICI psum)
+            return outs[:-1] + (jax.lax.psum(local_sum, "batch"),)
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("batch"), P("batch"), P(), P("batch"), P(),
+                      P("batch")),
+            out_specs=tuple(P("batch") for _ in range(n_out)) + (P(),))
     return jax.jit(fn), mesh
-
-
-@lru_cache(maxsize=8)
-def _jit_update_reference(interp, n):
-    """Mean of the last ``n`` compensated (preprocessed) frames — the
-    reference-update rule of compensate_recording_3D.py:395-429, kept on
-    device (proc frames and flows never reach the host)."""
-
-    def run(proc_tail, flows_tail, ref_proc):
-        comp = jax.lax.map(
-            lambda a: imregister_wrapper(
-                a[0], a[1][..., 0], a[1][..., 1], a[1][..., 2], ref_proc,
-                interpolation_method=interp),
-            (proc_tail, flows_tail))
-        return comp.mean(axis=0)
-
-    return jax.jit(run)
 
 
 def _pad_batch(arr, k):
@@ -277,6 +304,10 @@ class ResidentPipeline:
             voxels = Z * Y * X * max(1, C)
             k = max(1, min(T, int(self.voxel_budget // max(voxels, 1))))
         if self.mode == "mesh":
+            # cap frames per device per chunk: the mesh flow local is
+            # UNROLLED (bit-identity, see _jit_flow_mesh), so one chunk
+            # must not trace an unbounded number of pyramid bodies
+            k = min(k, 8 * self.n_devices)
             k = max(self.n_devices, (k // self.n_devices) * self.n_devices)
         return min(k, T if self.mode != "mesh"
                    else -(-T // self.n_devices) * self.n_devices)
@@ -303,16 +334,18 @@ class ResidentPipeline:
         return lambda proc_c, w_init: fn(self.ref_proc_d, proc_c, w_init,
                                          self.weight_d)
 
-    def _finalize_fn(self, want_mask):
+    def _finalize_fn(self, want_mask, want_comp=False):
         out_name = np.dtype(self._in_dtype).name if self._device_cast \
             else "float32"
         if self.mode == "mesh":
             fn, _ = _jit_finalize_mesh(self.interp, out_name,
                                        self._device_cast, want_mask,
-                                       self._mesh_devices)
+                                       self._mesh_devices,
+                                       want_comp=want_comp)
         else:
             fn = _jit_finalize_chunk(self.interp, out_name,
-                                     self._device_cast, want_mask)
+                                     self._device_cast, want_mask,
+                                     want_comp=want_comp)
         return fn
 
     def _host_cast(self, reg):
@@ -327,7 +360,7 @@ class ResidentPipeline:
                 reg = reg.astype(self._in_dtype)
         return reg
 
-    def _initial_w(self, proc_parts, n, k, progress_callback=None):
+    def _initial_w(self, proc_parts, n, progress_callback=None):
         """Mean flow of the first ``n`` frames from a zero init (reference
         :342-393) — accumulated as a running sum, never stacking flows."""
         fn = self._flow_fn()
@@ -383,26 +416,41 @@ class ResidentPipeline:
 
         initial_w = None
         if w_init is None:
-            initial_w = self._initial_w(proc_parts, min(22, T), k,
+            initial_w = self._initial_w(proc_parts, min(22, T),
                                         initial_progress_callback)
             w_init = initial_w
         current = jnp.asarray(w_init if use_w_init else self.zero_w,
                               jnp.float32)
 
         flow_fn = self._flow_fn()
-        fin_fn = self._finalize_fn(want_mask)
+        fin_fn = self._finalize_fn(want_mask, want_comp=update_reference)
         tail_start = T - min(20, T)
+        n_upd = min(100, T)
+        upd_start = T - n_upd
         tail_sum = None
         tail_n = 0
-        regs, stats, valids, masks, flows_host, flows_dev = \
-            [], [], [], [], [], []
+        comp_sum = None  # reference-update accumulator (Z,Y,X,C)
+        regs, stats, valids, masks, flows_host = [], [], [], [], []
         done = 0
         for i, (raw_c, proc_c) in enumerate(zip(raw_parts, proc_parts)):
             n = n_valid[i]
             fl = flow_fn(proc_c, current)
-            if not update_reference:
-                proc_parts[i] = None  # free the chunk's proc frames
-            outs = fin_fn(raw_c, fl, self.ref_raw_d)
+            if update_reference:
+                # per-frame weights selecting the last <=100 frames; the
+                # compensated frames are reduced INSIDE the program — no
+                # proc/flow retention (the old path kept the whole batch
+                # on device and re-created the warp-program OOM)
+                w_upd = (np.arange(done, done + raw_c.shape[0])
+                         >= upd_start).astype(np.float32)
+                w_upd[n:] = 0.0  # padded frames contribute nothing
+                outs = fin_fn(raw_c, fl, self.ref_raw_d, proc_c,
+                              self.ref_proc_d, jnp.asarray(w_upd))
+                cs = outs[-1]
+                comp_sum = cs if comp_sum is None else comp_sum + cs
+                outs = outs[:-1]
+            else:
+                outs = fin_fn(raw_c, fl, self.ref_raw_d)
+            proc_parts[i] = None  # free the chunk's proc frames
             raw_parts[i] = None
             reg_c, st_c, va_c = outs[:3]
             # NO synchronous downloads inside the loop: a blocking
@@ -439,26 +487,16 @@ class ResidentPipeline:
                 if flows_host:
                     flows_host[-1] = np.asarray(flows_host[-1])
                 flows_host.append(fl_keep)
-            if update_reference:
-                flows_dev.append(fl[:n])
             del fl
             done += n
             if progress_callback:
                 progress_callback(n)
 
         new_w_init = tail_sum / max(tail_n, 1)
-        if update_reference:
-            n_upd = min(100, T)
-            fn = _jit_update_reference(self.interp, n_upd)
-            proc_all = jnp.concatenate(
-                [p[:n] for p, n in zip(proc_parts, n_valid)]) \
-                if len(proc_parts) > 1 else proc_parts[0][:n_valid[0]]
-            flows_all = jnp.concatenate(flows_dev) \
-                if len(flows_dev) > 1 else flows_dev[0]
-            self.ref_proc_d = fn(proc_all[-n_upd:], flows_all[-n_upd:],
-                                 self.ref_proc_d)
+        if update_reference and comp_sum is not None:
+            self.ref_proc_d = comp_sum / n_upd
             self._ref_dirty = True
-            del proc_all, flows_all, flows_dev
+            del comp_sum
 
         regs = [self._host_cast(np.asarray(r)) for r in regs]
         stats = [np.asarray(x) for x in stats]
@@ -478,7 +516,6 @@ class ResidentPipeline:
             "w_init": new_w_init,
             "initial_w": initial_w,
         }
-        self._ref_dirty = True
 
     def ref_proc_np(self):
         """Host mirror of the (possibly updated) processed reference."""

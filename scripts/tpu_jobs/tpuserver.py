@@ -55,16 +55,20 @@ while True:
         dt = time.perf_counter() - t0
         open(out, "w").write(f"[{status} {dt:.1f}s]\n" + buf.getvalue())
         try:
-            rec = {"job": os.path.basename(j), "status": status,
-                   "secs": round(dt, 1),
-                   "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+            # jobs usually self-record via ns_record (job_205 helpers);
+            # the server only logs jobs that set ns["RECORD"] or ERRORED,
+            # so each job yields at most one BENCH_JOBS row from here
             data = ns.get("RECORD")
-            if isinstance(data, dict):
-                rec["data"] = data
-            elif status == "ERR":
-                rec["error_tail"] = buf.getvalue()[-400:]
-            with open(JOBS_LOG, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if isinstance(data, dict) or status == "ERR":
+                rec = {"job": os.path.basename(j), "status": status,
+                       "secs": round(dt, 1),
+                       "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+                if isinstance(data, dict):
+                    rec["data"] = data
+                else:
+                    rec["error_tail"] = buf.getvalue()[-400:]
+                with open(JOBS_LOG, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
         except Exception:
             traceback.print_exc(file=sys.stderr)
     time.sleep(0.5)

@@ -42,3 +42,24 @@ def test_median_kernel_exact(shape):
     got = median_filter_5x5x5_pallas(x, interpret=True)
     ref = median_filter_5x5x5(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_batched_median_matches_single_and_scipy():
+    """The batched (B,Z,Y,X) kernel — the default TPU median for every
+    min_level>=4 pyramid — must equal the single-volume kernel AND scipy
+    per component."""
+    from scipy.ndimage import median_filter
+
+    from flowreg3d_tpu.ops.median_pallas import (
+        median_filter_5x5x5_pallas, median_filter_5x5x5_pallas_batched)
+
+    rng = np.random.default_rng(3)
+    x = rng.random((3, 9, 22, 130)).astype(np.float32)
+    got = np.asarray(median_filter_5x5x5_pallas_batched(x, interpret=True))
+    for i in range(3):
+        single = np.asarray(median_filter_5x5x5_pallas(x[i], interpret=True))
+        ref = median_filter_5x5x5(x[i], size=5, mode="mirror") \
+            if False else median_filter(x[i], size=5, mode="mirror")
+        np.testing.assert_array_equal(got[i], single)
+        np.testing.assert_array_equal(got[i], ref)
