@@ -232,6 +232,35 @@ def test_resident_mesh_matches_single(tmp_path, movie, rng):
     np.testing.assert_array_equal(regs["seq"], regs["mesh"])
 
 
+@pytest.mark.slow
+def test_resident_mesh_update_reference_matches_single(tmp_path, movie):
+    """update_reference under the mesh executor exercises the psum'd
+    compensated-frame accumulator — must match the single-device path."""
+    import h5py
+
+    inp = str(tmp_path / "in.h5")
+    with h5py.File(inp, "w") as f:
+        f.create_dataset("mov", data=movie)
+    regs = {}
+    for mode, par in (("seq", "sequential"), ("mesh", "mesh")):
+        opts = _options(tmp_path, inp, f"mu_{mode}", update_reference=True,
+                        min_level=1)
+        cfg = RegistrationConfig(parallelization=par, prefetch=0,
+                                 async_write=False, device_resident=True)
+        corr = BatchMotionCorrector(opts, cfg)
+        corr.run()
+        assert corr.used_device_resident
+        comp = next((tmp_path / f"mu_{mode}").glob("compensated.*"))
+        with h5py.File(str(comp), "r") as f:
+            regs[mode] = np.asarray(f[list(f.keys())[0]])
+    # psum reduction order may differ from the sequential sum at the last
+    # bit; the registered outputs must agree to integer rounding
+    diff = np.abs(regs["seq"].astype(np.int64)
+                  - regs["mesh"].astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
 def test_resident_refuses_unsupported_when_required(tmp_path, movie):
     import h5py
 
